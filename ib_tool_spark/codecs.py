@@ -1,0 +1,371 @@
+"""Pure-numpy image codecs + perceptual hash + PSNR + xxhash64 mirror.
+
+The payload table (BASELINE.json ``input_hint``) carries images as
+opaque ``bytes:binary`` with ``fmt`` ∈ {png, ppm, tdc}.  No imaging
+libraries exist in this environment, so the codecs are written from
+scratch on numpy + stdlib zlib:
+
+- ``png``: truecolor 8-bit RGB, zlib-deflated filter-0 scanlines on
+  encode; decoder handles all five PNG filter types.
+- ``ppm``: binary P6.
+- ``tdc``: toy 8×8 block-DCT lossy codec with flat quantization step
+  chosen so PSNR ≥ 40 dB always holds (the input_hint invariant).
+
+``xxh64`` mirrors XXH64 (and therefore Spark's built-in ``xxhash64``
+with its fixed seed 42 — verified equal in tests), so the geocode
+derivation can run JVM-side in the hot path and be replayed bit-exactly
+in the pure-pandas oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# XXH64 (Spark xxhash64 mirror, seed 42)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Scalar XXH64 → signed int64 (== Spark ``F.xxhash64`` on the bytes)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = (_rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i : i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+        h ^= k
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _rotl_np(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def xxh64_fixed(data: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Vectorized XXH64 for a 2-D uint8 array of same-length rows (< 32 B).
+
+    ``data``: (N, L) uint8 with L < 32 (e.g. the fixed-width
+    ``image_id`` strings).  Returns int64 (N,).
+    """
+    n_rows, L = data.shape
+    assert L < 32, "fixed-length fast path covers the <32B case only"
+    old = np.seterr(over="ignore")
+    try:
+        P1 = np.uint64(_P1)
+        P2 = np.uint64(_P2)
+        P3 = np.uint64(_P3)
+        P4 = np.uint64(_P4)
+        P5 = np.uint64(_P5)
+        h = np.full(n_rows, (seed + _P5 + L) & _M64, dtype=np.uint64)
+        i = 0
+        while i + 8 <= L:
+            lane = np.zeros(n_rows, dtype=np.uint64)
+            for b in range(8):
+                lane |= data[:, i + b].astype(np.uint64) << np.uint64(8 * b)
+            k = _rotl_np(lane * P2, 31) * P1
+            h ^= k
+            h = _rotl_np(h, 27) * P1 + P4
+            i += 8
+        if i + 4 <= L:
+            lane = np.zeros(n_rows, dtype=np.uint64)
+            for b in range(4):
+                lane |= data[:, i + b].astype(np.uint64) << np.uint64(8 * b)
+            h ^= lane * P1
+            h = _rotl_np(h, 23) * P2 + P3
+            i += 4
+        while i < L:
+            h ^= data[:, i].astype(np.uint64) * P5
+            h = _rotl_np(h, 11) * P1
+            i += 1
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+        return h.astype(np.int64)
+    finally:
+        np.seterr(**old)
+
+
+def xxh64_strings(ids: "np.ndarray | list[str]", seed: int = 42) -> np.ndarray:
+    """XXH64 of an array of equal-length ASCII strings (vectorized)."""
+    arr = np.asarray(ids, dtype="S")
+    width = arr.dtype.itemsize
+    raw = arr.view(np.uint8).reshape(len(arr), width)
+    # strings are equal-length by construction; assert no NUL padding
+    assert (raw[:, -1] != 0).all(), "xxh64_strings requires equal-length ids"
+    return xxh64_fixed(raw, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# PPM (binary P6)
+# ---------------------------------------------------------------------------
+
+
+def ppm_encode(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def ppm_decode(data: bytes) -> np.ndarray:
+    assert data[:2] == b"P6"
+    # header: magic, whitespace-separated w h maxval, single whitespace, raster
+    idx = 2
+    vals = []
+    while len(vals) < 3:
+        while data[idx : idx + 1].isspace():
+            idx += 1
+        if data[idx : idx + 1] == b"#":
+            while data[idx : idx + 1] != b"\n":
+                idx += 1
+            continue
+        start = idx
+        while not data[idx : idx + 1].isspace():
+            idx += 1
+        vals.append(int(data[start:idx]))
+    idx += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    assert maxval == 255
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=idx).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# PNG (truecolor RGB8)
+# ---------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(img: np.ndarray, level: int = 6) -> bytes:
+    """Minimal truecolor PNG writer (filter 0 scanlines)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    idx = 8
+    w = h = None
+    idat = b""
+    while idx < len(data):
+        (ln,) = struct.unpack(">I", data[idx : idx + 4])
+        tag = data[idx + 4 : idx + 8]
+        payload = data[idx + 8 : idx + 8 + ln]
+        idx += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            assert depth == 8 and ctype == 2 and interlace == 0, "decoder supports RGB8 non-interlaced"
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    bpp = 3
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    for row in range(h):
+        f = raw[row, 0]
+        line = raw[row, 1:].astype(np.int32)
+        prev = out[row - 1].astype(np.int32) if row > 0 else np.zeros(w * 3, dtype=np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need a sequential pass over pixels
+            cur = np.zeros(w * 3, dtype=np.int32)
+            for i in range(w * 3):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if f == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif f == 3:
+                    cur[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:
+                    c_ = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c_
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c_)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c_)
+                    cur[i] = (line[i] + pr) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+        out[row] = cur.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# TDC — toy DCT lossy codec (PSNR >= 40 dB by construction)
+# ---------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT8 = _dct_matrix(8)
+_TDC_STEP = 2.0  # flat quantizer; error/coeff <= 1 → PSNR ≈ 52 dB
+
+
+def tdc_encode(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3 and h % 8 == 0 and w % 8 == 0 and img.dtype == np.uint8
+    x = img.astype(np.float64) - 128.0
+    # (h/8, 8, w/8, 8, 3) blocks → DCT per 8x8 block, all channels at once
+    blocks = x.reshape(h // 8, 8, w // 8, 8, 3).transpose(0, 2, 4, 1, 3)
+    coeff = np.einsum("ij,bcqjk,lk->bcqil", _DCT8, blocks, _DCT8)
+    q = np.rint(coeff / _TDC_STEP).astype(np.int16)
+    payload = zlib.compress(q.tobytes(), 6)
+    return struct.pack(">4sII", b"TDC1", w, h) + payload
+
+
+def tdc_decode(data: bytes) -> np.ndarray:
+    magic, w, h = struct.unpack(">4sII", data[:12])
+    assert magic == b"TDC1"
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16).astype(np.float64)
+    q = q.reshape(h // 8, w // 8, 3, 8, 8) * _TDC_STEP
+    blocks = np.einsum("ji,bcqjk,kl->bcqil", _DCT8, q, _DCT8)
+    x = blocks.transpose(0, 3, 1, 4, 2).reshape(h, w, 3) + 128.0
+    return np.clip(np.rint(x), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Decode dispatch + metrics
+# ---------------------------------------------------------------------------
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "ppm":
+        return ppm_decode(data)
+    if fmt == "tdc":
+        return tdc_decode(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(img)
+    if fmt == "ppm":
+        return ppm_encode(img)
+    if fmt == "tdc":
+        return tdc_encode(img)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (64-bit DCT pHash)
+# ---------------------------------------------------------------------------
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an RGB image (sizes 16/32/64 px).
+
+    Deterministic pipeline: luma → resample to 32×32 by power-of-two
+    block mean / nearest upsample → 2-D DCT-II → 8×8 low-frequency
+    block minus DC → bits = coeff > median.  Ties the stored ``phash``
+    column to the pixels (FIXTURES.md §1).
+    """
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    gray = _resample_pow2(gray, 32)
+    coeff = _DCT32 @ gray @ _DCT32.T
+    block = coeff[:8, :8].copy().ravel()[1:]  # drop DC
+    med = np.median(block)
+    bits = block > med
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(63 - i)
+    v = int(v)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _resample_pow2(gray: np.ndarray, target: int) -> np.ndarray:
+    h, w = gray.shape
+    out = gray
+    if h > target:
+        out = out.reshape(target, h // target, w).mean(axis=1)
+    elif h < target:
+        out = np.repeat(out, target // h, axis=0)
+    h2 = out.shape[0]
+    if w > target:
+        out = out.reshape(h2, target, w // target).mean(axis=2)
+    elif w < target:
+        out = np.repeat(out, target // w, axis=1)
+    return out

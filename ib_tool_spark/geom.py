@@ -1,0 +1,392 @@
+"""Vectorized numpy geometry kernels.
+
+This is the engine's scalar-function library — the from-scratch
+replacement for the reference's arcpy geometric calls (SURVEY.md §2.5).
+Everything is planar (projected metric CRS, mirroring the reference's
+EPSG 25832/25833 semantics — IB-Tool2_Config.txt:12) and vectorized:
+these kernels run inside Arrow-batched pandas UDFs, never per-row
+Python.
+
+Polygon representation: ``rings`` = list of (K, 2) float64 arrays,
+ring closure implicit (first vertex != last; edges wrap).  Even-odd
+(crossing-number) rule, so holes are just additional rings — matches
+the shapefile even-odd fill the reference relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cells import DEFAULT_GRID, GridConfig, encode_colrow
+
+# ---------------------------------------------------------------------------
+# Measures
+# ---------------------------------------------------------------------------
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive).
+
+    Replaces the reference's ``!shape.geodesicArea@SQUAREMETERS!``
+    (IB-Tool2.py:205-210); planar is exact for the projected CRS.
+    """
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """Even-odd polygon area: |outer| minus holes (uses |signed| per ring)."""
+    if not rings:
+        return 0.0
+    areas = [ring_area(r) for r in rings]
+    outer = abs(areas[0])
+    return outer - sum(abs(a) for a in areas[1:])
+
+
+def ring_length(ring: np.ndarray, closed: bool = True) -> float:
+    pts = np.vstack([ring, ring[:1]]) if closed else ring
+    d = np.diff(pts, axis=0)
+    return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+
+def polygon_perimeter(rings: list[np.ndarray]) -> float:
+    return sum(ring_length(r) for r in rings)
+
+
+def rings_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
+    pts = np.vstack(rings)
+    return (
+        float(pts[:, 0].min()),
+        float(pts[:, 1].min()),
+        float(pts[:, 0].max()),
+        float(pts[:, 1].max()),
+    )
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid of one ring (arcpy FeatureToPoint analogue,
+    IB-Tool2.py:795)."""
+    x, y = ring[:, 0], ring[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if abs(a) < 1e-12:
+        return float(x.mean()), float(y.mean())
+    cx = float(((x + xn) * cross).sum() / (6.0 * a))
+    cy = float(((y + yn) * cross).sum() / (6.0 * a))
+    return cx, cy
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (the PIP-join refine kernel)
+# ---------------------------------------------------------------------------
+
+
+def _rings_edges(rings: list[np.ndarray]) -> np.ndarray:
+    """Concatenate all ring edges → (E, 4) array of (x1, y1, x2, y2)."""
+    segs = []
+    for r in rings:
+        nxt = np.roll(r, -1, axis=0)
+        segs.append(np.hstack([r, nxt]))
+    return np.vstack(segs)
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Vectorized even-odd crossing test: (N,) bool.
+
+    Tie-break rule (pinned by tests): edges are half-open in y
+    (``y1 <= py < y2`` counting), ray goes in +x; a point exactly on a
+    horizontal edge is decided by the adjacent non-horizontal edges.
+    This is the engine-wide PIP rule the north_rule's "identical join
+    rows" parity is defined against.
+    """
+    edges = _rings_edges(rings)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    n = px.shape[0]
+    inside = np.zeros(n, dtype=bool)
+    # batch over points to bound the (batch, E) temporary
+    E = edges.shape[0]
+    batch = max(1, int(2_000_000 / max(E, 1)))
+    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    dy = y2 - y1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_dy = np.where(dy != 0.0, 1.0 / dy, 0.0)
+    for s in range(0, n, batch):
+        e = min(n, s + batch)
+        bpy = py[s:e, None]
+        bpx = px[s:e, None]
+        cond = (y1[None, :] > bpy) != (y2[None, :] > bpy)
+        xi = x1[None, :] + (bpy - y1[None, :]) * (x2 - x1)[None, :] * inv_dy[None, :]
+        inside[s:e] = (np.sum(cond & (bpx < xi), axis=1) % 2).astype(bool)
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# Segment intersection (road-crossing prune, IB-Tool2.py:1359-1372)
+# ---------------------------------------------------------------------------
+
+
+def segments_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise proper/improper intersection of segment arrays.
+
+    ``a``: (N, 4) of (x1,y1,x2,y2); ``b``: (N, 4).  Returns (N,) bool.
+    Uses orientation signs with collinear-overlap handling.
+    """
+
+    def orient(ox, oy, ax_, ay_, bx, by):
+        return (ax_ - ox) * (by - oy) - (ay_ - oy) * (bx - ox)
+
+    ax1, ay1, ax2, ay2 = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    bx1, by1, bx2, by2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        return (
+            (np.minimum(px, qx) <= rx)
+            & (rx <= np.maximum(px, qx))
+            & (np.minimum(py, qy) <= ry)
+            & (ry <= np.maximum(py, qy))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(bx1, by1, bx2, by2, ax1, ay1))
+        | ((d2 == 0) & on_seg(bx1, by1, bx2, by2, ax2, ay2))
+        | ((d3 == 0) & on_seg(ax1, ay1, ax2, ay2, bx1, by1))
+        | ((d4 == 0) & on_seg(ax1, ay1, ax2, ay2, bx2, by2))
+    )
+    return proper | touch
+
+
+# ---------------------------------------------------------------------------
+# Convex hull + oriented MBR (IB-Tool2.py:426-642 CalcBoundingRect)
+# ---------------------------------------------------------------------------
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns CCW hull vertices (K, 2)."""
+    pts = np.unique(pts, axis=0)
+    if pts.shape[0] <= 2:
+        return pts
+
+    def half(points):
+        out: list[np.ndarray] = []
+        for p in points:
+            while len(out) >= 2:
+                o, a_ = out[-2], out[-1]
+                if (a_[0] - o[0]) * (p[1] - o[1]) - (a_[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    spts = pts[order]
+    lower = half(spts)
+    upper = half(spts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def oriented_mbr(pts: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Minimum-area oriented bounding rectangle via rotating calipers.
+
+    Returns (corners(4,2), area, angle_rad).  Replaces arcpy
+    ``MinimumBoundingGeometry RECTANGLE_BY_AREA`` (IB-Tool2.py:938,
+    1407) and is the accept/reject measure of the reference's greedy
+    MST clustering (IB-Tool2.py:1459-1646).
+    """
+    hull = convex_hull(pts)
+    if hull.shape[0] == 1:
+        c = hull[0]
+        return np.tile(c, (4, 1)), 0.0, 0.0
+    if hull.shape[0] == 2:
+        d = hull[1] - hull[0]
+        ang = float(np.arctan2(d[1], d[0]))
+        return np.array([hull[0], hull[1], hull[1], hull[0]]), 0.0, ang
+    edges = np.roll(hull, -1, axis=0) - hull
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+    best = (np.inf, None, 0.0)
+    for ang in angles:
+        c, s = np.cos(ang), np.sin(ang)
+        rot = hull @ np.array([[c, -s], [s, c]])  # rotate by -ang
+        minx, miny = rot.min(axis=0)
+        maxx, maxy = rot.max(axis=0)
+        area = (maxx - minx) * (maxy - miny)
+        if area < best[0]:
+            best = (area, (minx, miny, maxx, maxy), ang)
+    area, (minx, miny, maxx, maxy), ang = best
+    corners_r = np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])
+    c, s = np.cos(ang), np.sin(ang)
+    corners = corners_r @ np.array([[c, s], [-s, c]])
+    return corners, float(area), float(ang)
+
+
+# ---------------------------------------------------------------------------
+# Cell cover of a polygon (candidate generation for the PIP join)
+# ---------------------------------------------------------------------------
+
+
+def cover_cells(
+    rings: list[np.ndarray],
+    res: int,
+    grid: GridConfig = DEFAULT_GRID,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Quadkey cells overlapping a polygon, classified full vs boundary.
+
+    Returns ``(cells int64[], full bool[])``:
+
+    - ``full=True``  → cell entirely inside the polygon; points in it
+      need NO exact test (the join accepts them outright).
+    - ``full=False`` → boundary candidate; points get the exact
+      :func:`points_in_polygon` refine.
+
+    Conservative: any cell whose bbox overlaps an *edge bbox* is marked
+    boundary, which can only demote full→boundary (extra exact tests,
+    never wrong rows).  This is the explicit replacement for the
+    R-tree candidate pass inside arcpy's SpatialJoin.
+    """
+    cs = grid.cell_size(res)
+    n = 1 << res
+    minx, miny, maxx, maxy = rings_bbox(rings)
+    c0 = max(0, int(np.floor((minx - grid.x0) / cs)))
+    r0 = max(0, int(np.floor((miny - grid.y0) / cs)))
+    c1 = min(n - 1, int(np.floor((maxx - grid.x0) / cs)))
+    r1 = min(n - 1, int(np.floor((maxy - grid.y0) / cs)))
+    ncol, nrow = c1 - c0 + 1, r1 - r0 + 1
+    if ncol <= 0 or nrow <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+
+    boundary = np.zeros((nrow, ncol), dtype=bool)
+    edges = _rings_edges(rings)
+    ec0 = np.clip(np.floor((np.minimum(edges[:, 0], edges[:, 2]) - grid.x0) / cs), c0, c1).astype(int) - c0
+    ec1 = np.clip(np.floor((np.maximum(edges[:, 0], edges[:, 2]) - grid.x0) / cs), c0, c1).astype(int) - c0
+    er0 = np.clip(np.floor((np.minimum(edges[:, 1], edges[:, 3]) - grid.y0) / cs), r0, r1).astype(int) - r0
+    er1 = np.clip(np.floor((np.maximum(edges[:, 1], edges[:, 3]) - grid.y0) / cs), r0, r1).astype(int) - r0
+    for i in range(edges.shape[0]):
+        boundary[er0[i] : er1[i] + 1, ec0[i] : ec1[i] + 1] = True
+
+    # cell centers inside?
+    cols = grid.x0 + (np.arange(c0, c1 + 1) + 0.5) * cs
+    rows = grid.y0 + (np.arange(r0, r1 + 1) + 0.5) * cs
+    cxx, cyy = np.meshgrid(cols, rows)
+    center_in = points_in_polygon(cxx.ravel(), cyy.ravel(), rings).reshape(nrow, ncol)
+
+    keep = boundary | center_in
+    full = center_in & ~boundary
+    rr, cc = np.nonzero(keep)
+    cells = encode_colrow(cc + c0, rr + r0, res)
+    return cells, full[rr, cc]
+
+
+# ---------------------------------------------------------------------------
+# Graph kernels: union-find + Kruskal MST (IB-Tool2.py:1438 analogue)
+# ---------------------------------------------------------------------------
+
+
+class UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, a: int) -> int:
+        p = self.parent
+        root = a
+        while p[root] != root:
+            root = p[root]
+        while p[a] != root:
+            p[a], a = root, p[a]
+        return root
+
+    def union(self, a: int, b: int) -> bool:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return False
+        self.parent[rb] = ra
+        return True
+
+
+def kruskal_mst(n_nodes: int, edges: np.ndarray) -> np.ndarray:
+    """Kruskal over (src, dst, weight) float64 rows → indices of MST edges.
+
+    Deterministic tie-break: (weight, src, dst) sort order — required
+    so the greedy clustering downstream is reproducible under retry.
+    """
+    if edges.shape[0] == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((edges[:, 1], edges[:, 0], edges[:, 2]))
+    uf = UnionFind(n_nodes)
+    picked = []
+    for i in order:
+        if uf.union(int(edges[i, 0]), int(edges[i, 1])):
+            picked.append(i)
+            if len(picked) == n_nodes - 1:
+                break
+    return np.asarray(picked, dtype=np.int64)
+
+
+def delaunay_edges(pts: np.ndarray) -> np.ndarray:
+    """Delaunay edge list via incremental Bowyer–Watson → (E, 2) int64.
+
+    Per-partition scope only (the reference likewise triangulates one
+    settlement partition at a time — IB-Tool2.py:1259-1303); inputs are
+    a few thousand points, so O(n·t) incremental insertion is fine.
+    """
+    n = pts.shape[0]
+    if n < 2:
+        return np.empty((0, 2), dtype=np.int64)
+    if n == 2:
+        return np.array([[0, 1]], dtype=np.int64)
+    # super-triangle
+    cmin = pts.min(axis=0)
+    cmax = pts.max(axis=0)
+    d = max(float(np.max(cmax - cmin)), 1.0) * 10.0
+    mid = (cmin + cmax) / 2.0
+    sp = np.array(
+        [[mid[0] - 2 * d, mid[1] - d], [mid[0] + 2 * d, mid[1] - d], [mid[0], mid[1] + 2 * d]]
+    )
+    allp = np.vstack([pts, sp])
+    tris = [(n, n + 1, n + 2)]
+
+    def circum_ok(tri, p):
+        ax, ay = allp[tri[0]]
+        bx, by = allp[tri[1]]
+        cx, cy = allp[tri[2]]
+        px, py = p
+        axp, ayp = ax - px, ay - py
+        bxp, byp = bx - px, by - py
+        cxp, cyp = cx - px, cy - py
+        det = (
+            (axp * axp + ayp * ayp) * (bxp * cyp - cxp * byp)
+            - (bxp * bxp + byp * byp) * (axp * cyp - cxp * ayp)
+            + (cxp * cxp + cyp * cyp) * (axp * byp - bxp * ayp)
+        )
+        # orientation of tri
+        orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        return det > 0 if orient > 0 else det < 0
+
+    for i in range(n):
+        p = allp[i]
+        bad = [t for t in tris if circum_ok(t, p)]
+        # boundary of the cavity = edges appearing exactly once
+        edge_count: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                key = (min(e), max(e))
+                edge_count[key] = edge_count.get(key, 0) + 1
+        tris = [t for t in tris if t not in bad]
+        for (a, b), cnt in edge_count.items():
+            if cnt == 1:
+                tris.append((a, b, i))
+    edges = set()
+    for t in tris:
+        if max(t) >= n:
+            continue
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            edges.add((min(e), max(e)))
+    if not edges:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.array(sorted(edges), dtype=np.int64)

@@ -1,0 +1,284 @@
+"""DataFrame-level spatial operators.
+
+Each operator re-expresses one reference primitive (SURVEY.md §2) as a
+declarative Spark plan: candidate generation by cell equi-join (which
+Catalyst plans as a broadcast hash join — the polygon/center side is
+always tiny relative to the image table), then an exact vectorized
+numpy refine only where the candidate cell is ambiguous.
+
+Scale notes (the 100 TB contract):
+- The image side NEVER shuffles in pip_join/knn_assign — the build side
+  is broadcast, so the plan is scan → project (codegen) → broadcast
+  join → Arrow-batched refine.  Throughput scales linearly with
+  executors; there is no shuffle to skew.
+- density_grid aggregates before its (tiny) k-ring self-join: the
+  shuffle moves one row per *occupied cell*, not per point, and Spark's
+  partial aggregation does the per-point work map-side.
+- Skew from dense settlement cells is handled where it can exist — in
+  grouped aggregations — by two-stage salted aggregation (see skew.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import synth
+from .cells import DEFAULT_GRID, GridConfig, encode_col, k_ring_offsets, parent_col
+from .geom import cover_cells, points_in_polygon, rings_bbox
+
+# ---------------------------------------------------------------------------
+# Column-level stages (pure built-ins → whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+
+def with_geocode(df: DataFrame, scene=None) -> DataFrame:
+    """Attach deterministic (x, y) derived from image_id (JVM-side)."""
+    x, y = synth.geocode_cols(F.col("image_id"), scene)
+    return df.withColumn("x", x).withColumn("y", y)
+
+
+def with_cell(df: DataFrame, res: int = 10, grid: GridConfig = DEFAULT_GRID) -> DataFrame:
+    """Attach the quadkey cell id (JVM-side Morton encode)."""
+    return df.withColumn("cell", encode_col(F.col("x"), F.col("y"), res, grid))
+
+
+def tile_assign(df: DataFrame, cell_res: int, tile_res: int) -> DataFrame:
+    """Cell → coarser tile id; pure bit math (reference's tiling layer)."""
+    return df.withColumn("tile", parent_col(F.col("cell"), cell_res, tile_res))
+
+
+# ---------------------------------------------------------------------------
+# PIP join (J5/J6 in SURVEY.md §2.3 — the engine's core operator)
+# ---------------------------------------------------------------------------
+
+
+def polygon_cover_pdf(polygons: list[tuple[int, str, list[np.ndarray]]], res: int,
+                      grid: GridConfig = DEFAULT_GRID) -> pd.DataFrame:
+    """Covering cells of each polygon, classified full/boundary.
+
+    Driver-side (polygon sets are small — the reference's scene has 86
+    boundary polygons); the result is the broadcast build side of the
+    PIP join.
+    """
+    cells_all, sids, fulls = [], [], []
+    for sid, _name, rings in polygons:
+        cells, full = cover_cells(rings, res, grid)
+        cells_all.append(cells)
+        fulls.append(full)
+        sids.append(np.full(cells.shape[0], sid, dtype=np.int64))
+    return pd.DataFrame(
+        {
+            "cell": np.concatenate(cells_all),
+            "sid": np.concatenate(sids),
+            "full": np.concatenate(fulls),
+        }
+    )
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: list[tuple[int, str, list[np.ndarray]]],
+    res: int = 10,
+    grid: GridConfig = DEFAULT_GRID,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-polygon join: points(x, y, cell) × polygons → + sid.
+
+    Plan shape: broadcast-hash-join on the cell key (no shuffle of the
+    point side), then ONE Arrow-batched refine pass in which rows from
+    *fully interior* cells skip the exact test entirely — the refine
+    only does geometry for boundary-cell rows.  Replaces arcpy
+    SpatialJoin/SelectLayerByLocation (IB-Tool2.py:882, 670 …).
+
+    ``how='inner'`` keeps matching rows (semi-join per (point, polygon)
+    pair); ``how='anti'`` returns points matching NO polygon (the
+    reference's INVERT selections, IB-Tool2.py:818-823).
+    """
+    spark = points.sparkSession
+    cover = spark.createDataFrame(polygon_cover_pdf(polygons, res, grid), "cell long, sid long, full boolean")
+    edges_by_sid = {sid: [np.asarray(r, dtype=np.float64) for r in rings] for sid, _n, rings in polygons}
+    bc = spark.sparkContext.broadcast(edges_by_sid)
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(x: pd.Series, y: pd.Series, sid: pd.Series, full: pd.Series) -> pd.Series:
+        out = full.to_numpy(dtype=bool, na_value=False).copy()
+        todo = ~out
+        if todo.any():
+            xs = x.to_numpy(dtype=np.float64)
+            ys = y.to_numpy(dtype=np.float64)
+            sids = sid.to_numpy(dtype=np.int64)
+            polys = bc.value
+            for s in np.unique(sids[todo]):
+                m = todo & (sids == s)
+                out[m] = points_in_polygon(xs[m], ys[m], polys[int(s)])
+        return pd.Series(out)
+
+    joined = points.join(F.broadcast(cover), "cell", "inner")
+    matched = (
+        joined.withColumn("__inside", refine(F.col("x"), F.col("y"), F.col("sid"), F.col("full")))
+        .filter(F.col("__inside"))
+        .drop("__inside", "full")
+    )
+    if how == "inner":
+        return matched
+    if how == "anti":
+        return points.join(matched.select("cell", "x", "y").distinct(), ["cell", "x", "y"], "left_anti")
+    raise ValueError(f"how={how!r}")
+
+
+# ---------------------------------------------------------------------------
+# kNN / nearest join (J10 — GenerateNearTable CLOSEST analogue)
+# ---------------------------------------------------------------------------
+
+
+def knn_assign(
+    points: DataFrame,
+    centers: pd.DataFrame,  # columns: center_id, cx, cy
+    cutoff: float,
+    res: int | None = None,
+    grid: GridConfig = DEFAULT_GRID,
+) -> DataFrame:
+    """Nearest center within ``cutoff`` for every point — fully JVM-side.
+
+    Candidate generation: each center is exploded to the square k-ring
+    of cells that covers its cutoff disk; points join on their own cell
+    (broadcast), distances are plain column math, and ``min_by`` picks
+    the winner.  No Python in the loop at all.  Mirrors the reference's
+    GenerateNearTable CLOSEST with a 70 m cutoff (IB-Tool2.py:1985-96).
+    """
+    spark = points.sparkSession
+    if res is None:
+        # coarsest resolution whose cell size ≥ cutoff → 1-ring suffices
+        res = 1
+        while grid.cell_size(res + 1) >= cutoff and res < 20:
+            res += 1
+    cs = grid.cell_size(res)
+    k = int(np.ceil(cutoff / cs))
+    offs = k_ring_offsets(k)
+    from .cells import encode, xy_to_colrow, encode_colrow
+
+    cxy = centers[["cx", "cy"]].to_numpy(dtype=np.float64)
+    ix, iy = xy_to_colrow(cxy[:, 0], cxy[:, 1], res, grid)
+    n = 1 << res
+    reps = offs.shape[0]
+    cand_ix = np.repeat(ix, reps) + np.tile(offs[:, 0], len(ix))
+    cand_iy = np.repeat(iy, reps) + np.tile(offs[:, 1], len(iy))
+    ok = (cand_ix >= 0) & (cand_ix < n) & (cand_iy >= 0) & (cand_iy < n)
+    cand = pd.DataFrame(
+        {
+            "cell": encode_colrow(cand_ix[ok], cand_iy[ok], res),
+            "center_id": np.repeat(centers["center_id"].to_numpy(np.int64), reps)[ok],
+            "cx": np.repeat(cxy[:, 0], reps)[ok],
+            "cy": np.repeat(cxy[:, 1], reps)[ok],
+        }
+    )
+    cand_df = spark.createDataFrame(cand, "cell long, center_id long, cx double, cy double")
+    pts = points.withColumn("__kcell", encode_col(F.col("x"), F.col("y"), res, grid))
+    joined = pts.join(F.broadcast(cand_df), pts["__kcell"] == cand_df["cell"], "inner").drop(cand_df["cell"])
+    d2 = (F.col("x") - F.col("cx")) ** 2 + (F.col("y") - F.col("cy")) ** 2
+    joined = joined.withColumn("__d2", d2).filter(F.col("__d2") <= float(cutoff) ** 2)
+    keys = [c for c in points.columns]
+    out = (
+        joined.groupBy(*keys)
+        .agg(
+            F.min_by("center_id", F.struct(F.col("__d2"), F.col("center_id"))).alias("nearest_id"),
+            F.sqrt(F.min("__d2")).alias("nearest_dist"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Density grid (A4 — PointDensity focal raster aggregate)
+# ---------------------------------------------------------------------------
+
+
+def density_grid(
+    points: DataFrame,
+    cell_size: float,
+    radius: float,
+    x0: float = 0.0,
+    y0: float = 0.0,
+) -> DataFrame:
+    """Per-cell point density with a circular focal neighborhood.
+
+    raster = grid-keyed table (SURVEY.md §1.2).  Two phases:
+    1. bin points → groupBy(cell) count        (map-side partial agg)
+    2. k-ring neighbor sum via explode of the disk offsets on the
+       *aggregated* cells — the shuffle is proportional to occupied
+       cells × disk size, never to the point count.
+    Density = Σ count(neighbors within radius) / (π r²), mirroring
+    arcpy.sa.PointDensity with a Circle kernel (IB-Tool2.py:799-801).
+    """
+    r_cells = int(np.floor(radius / cell_size))
+    offs = k_ring_offsets(r_cells)
+    keep = offs[:, 0] ** 2 + offs[:, 1] ** 2 <= (radius / cell_size) ** 2
+    offs = offs[keep]
+    binned = (
+        points.withColumn("gx", F.floor((F.col("x") - F.lit(x0)) / F.lit(cell_size)).cast("long"))
+        .withColumn("gy", F.floor((F.col("y") - F.lit(y0)) / F.lit(cell_size)).cast("long"))
+        .groupBy("gx", "gy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    off_df = F.array(*[F.struct(F.lit(int(dx)).alias("dx"), F.lit(int(dy)).alias("dy")) for dx, dy in offs])
+    spread = (
+        binned.withColumn("o", F.explode(off_df))
+        .select(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+            F.col("cnt"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.sum("cnt").alias("nsum"))
+    )
+    area = float(np.pi) * radius * radius
+    return spread.withColumn("density", F.col("nsum").cast("double") / F.lit(area))
+
+
+# ---------------------------------------------------------------------------
+# Decode + per-row invariant validation (input_hint contract)
+# ---------------------------------------------------------------------------
+
+VALIDATE_SCHEMA = (
+    "image_id string, fmt string, psnr double, pixels_ok boolean, "
+    "caption_ok boolean, phash_ok boolean"
+)
+
+
+def decode_validate(df: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
+    """Decode every image and check the per-row invariants:
+
+    decoded pixels ≈ expected (PSNR ≥ 40 dB for lossy, exact for
+    lossless), caption equality, stored phash == phash(decoded).
+    Runs in ``mapInPandas`` over Arrow batches (binary-heavy path);
+    executors never hold more than one batch of decoded pixels.
+    """
+    from . import codecs
+
+    def check(batches):
+        for pdf in batches:
+            out = []
+            for image_id, data, fmt, caption, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"], pdf["phash"]
+            ):
+                img = codecs.decode(bytes(data), fmt)
+                exp = synth.expected_pixels(image_id)
+                p = codecs.psnr(img, exp)
+                ok = (p == float("inf")) if fmt in ("png", "ppm") else (p >= psnr_floor)
+                out.append(
+                    {
+                        "image_id": image_id,
+                        "fmt": fmt,
+                        "psnr": min(p, 1e9),
+                        "pixels_ok": bool(ok),
+                        "caption_ok": caption == synth.expected_caption(image_id),
+                        "phash_ok": int(ph) == codecs.phash(img),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(check, VALIDATE_SCHEMA)

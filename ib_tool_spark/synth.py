@@ -1,0 +1,302 @@
+"""Deterministic synthetic scene + image/caption payload table.
+
+BASELINE.json's ``input_hint`` fixes the payload: an Iceberg-style
+table ``(image_id, bytes, w, h, fmt, caption, phash)``.  No external
+data exists, so this module synthesizes it *deterministically* (every
+byte a pure function of ``image_id``), at any scale, distributed via
+``mapInPandas`` — the 100 TB story is "the generator is itself a Spark
+job", not a driver loop.
+
+Geocoding: each image maps to a planar point through a hash-derived
+formula (`FIXTURES.md` §1: "derived deterministically from image_id, not
+stored in source").  The formula uses only bit ops and exact float64
+arithmetic so the JVM Column implementation (``geocode_cols``) and the
+numpy mirror (``geocode_np``) agree bit-for-bit — pinned by tests.
+~80 % of points fall inside settlement clusters, with a Zipf-weighted
+cluster choice so a few cells are intentionally dense (the skew
+exercise the north_rule demands explicit handling for).
+
+Scene: 48 settlement clusters with star-convex boundary polygons (a few
+with holes), mirroring the reference's study-area shape (71 partitions,
+86 boundary polygons — Test_data/A_PART, UGB.shp).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import codecs
+from .geom import polygon_area, ring_area, rings_bbox
+
+SCENE_SEED = 4242
+N_CLUSTERS = 48
+LOOKUP_LEN = 256
+CLUSTER_PROB = 0.8
+SCATTER_LO = 2000.0
+SCATTER_SPAN = 96000.0
+
+IMAGE_SIZES = (16, 32, 64)
+FORMATS = ("png", "ppm", "tdc")
+
+_ADJS = ("red brick", "timbered", "whitewashed", "modern", "derelict", "half-built", "narrow", "sunlit")
+_NOUNS = ("farmhouse", "warehouse", "row house", "chapel", "barn", "workshop", "tenement", "kiosk")
+_PLACES = tuple(f"settlement_{i:02d}" for i in range(N_CLUSTERS))
+
+
+@dataclass(frozen=True)
+class Scene:
+    """Driver-side immutable scene definition (broadcast to executors)."""
+
+    cx: np.ndarray  # (K,) cluster center x
+    cy: np.ndarray
+    rad: np.ndarray  # (K,) cluster radius (scatter half-width)
+    diam: np.ndarray  # 2*rad, precomputed so both geocode impls share it
+    lookup: np.ndarray  # (LOOKUP_LEN,) int cluster index, Zipf multiplicity
+    polygons: list = field(hash=False, compare=False)  # [(sid, name, rings)]
+
+
+def build_scene(seed: int = SCENE_SEED) -> Scene:
+    rng = np.random.RandomState(seed)
+    cx = rng.uniform(12000.0, 88000.0, N_CLUSTERS)
+    cy = rng.uniform(12000.0, 88000.0, N_CLUSTERS)
+    rad = rng.uniform(900.0, 2600.0, N_CLUSTERS)
+    # Zipf-ish multiplicity lookup → skewed cluster choice
+    w = 1.0 / (np.arange(N_CLUSTERS) + 1.0)
+    w /= w.sum()
+    counts = np.maximum(1, np.rint(w * LOOKUP_LEN).astype(int))
+    lookup = np.repeat(np.arange(N_CLUSTERS), counts)[:LOOKUP_LEN]
+    if lookup.shape[0] < LOOKUP_LEN:
+        lookup = np.concatenate(
+            [lookup, np.zeros(LOOKUP_LEN - lookup.shape[0], dtype=int)]
+        )
+    polygons = []
+    for k in range(N_CLUSTERS):
+        nv = 24
+        ang = 2.0 * np.pi * np.arange(nv) / nv
+        r = rad[k] * (0.80 + 0.40 * rng.uniform(size=nv))
+        ring = np.stack([cx[k] + r * np.cos(ang), cy[k] + r * np.sin(ang)], axis=1)
+        rings = [ring]
+        if k % 7 == 3:  # a few polygons with holes (even-odd rule exercise)
+            s = rad[k] * 0.25
+            hole = np.array(
+                [
+                    [cx[k] - s, cy[k] - s],
+                    [cx[k] - s, cy[k] + s],
+                    [cx[k] + s, cy[k] + s],
+                    [cx[k] + s, cy[k] - s],
+                ]
+            )  # CW → hole under even-odd regardless, but keep orientation distinct
+            rings.append(hole)
+        polygons.append((k, f"SETT_{k:03d}", rings))
+    return Scene(cx=cx, cy=cy, rad=rad, diam=2.0 * rad, lookup=lookup.astype(np.int64), polygons=polygons)
+
+
+_SCENE: Scene | None = None
+
+
+def default_scene() -> Scene:
+    global _SCENE
+    if _SCENE is None:
+        _SCENE = build_scene()
+    return _SCENE
+
+
+# ---------------------------------------------------------------------------
+# Geocode — numpy mirror (oracle path)
+# ---------------------------------------------------------------------------
+
+
+def geocode_np(image_ids, scene: Scene | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """(x, y) for an array of image_id strings — bit-exact mirror of
+    :func:`geocode_cols`."""
+    scene = scene or default_scene()
+    ids = np.asarray(image_ids, dtype="S")
+    h1 = codecs.xxh64_strings(ids).astype(np.uint64)
+    g_ids = np.char.add(ids, b"#g")
+    h2 = codecs.xxh64_strings(g_ids).astype(np.uint64)
+    u_pick = ((h1 >> np.uint64(12)) & np.uint64((1 << 20) - 1)).astype(np.float64) / float(1 << 20)
+    u_mode = (h1 & np.uint64(0xFFF)).astype(np.float64) / float(1 << 12)
+    u_x = ((h2 >> np.uint64(38)) & np.uint64((1 << 26) - 1)).astype(np.float64) / float(1 << 26)
+    u_y = ((h2 >> np.uint64(12)) & np.uint64((1 << 26) - 1)).astype(np.float64) / float(1 << 26)
+    k = scene.lookup[np.floor(u_pick * LOOKUP_LEN).astype(np.int64)]
+    in_cluster = u_mode < CLUSTER_PROB
+    x = np.where(in_cluster, scene.cx[k] + (u_x - 0.5) * scene.diam[k], SCATTER_LO + u_x * SCATTER_SPAN)
+    y = np.where(in_cluster, scene.cy[k] + (u_y - 0.5) * scene.diam[k], SCATTER_LO + u_y * SCATTER_SPAN)
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# Geocode — Spark Column builders (hot path: pure built-ins, codegen)
+# ---------------------------------------------------------------------------
+
+
+def geocode_cols(image_id_col, scene: Scene | None = None):
+    """Return (x, y) Column expressions for ``image_id``.
+
+    Entirely JVM-side: xxhash64 + bit ops + array-literal lookups, no
+    Python in the hot path (input_hint: "no per-row Python").
+    """
+    from pyspark.sql import functions as F
+
+    scene = scene or default_scene()
+    h1 = F.xxhash64(image_id_col)
+    h2 = F.xxhash64(F.concat(image_id_col, F.lit("#g")))
+    u_pick = F.shiftrightunsigned(h1, 12).bitwiseAND(F.lit((1 << 20) - 1)).cast("double") / F.lit(float(1 << 20))
+    u_mode = h1.bitwiseAND(F.lit(0xFFF)).cast("double") / F.lit(float(1 << 12))
+    u_x = F.shiftrightunsigned(h2, 38).bitwiseAND(F.lit((1 << 26) - 1)).cast("double") / F.lit(float(1 << 26))
+    u_y = F.shiftrightunsigned(h2, 12).bitwiseAND(F.lit((1 << 26) - 1)).cast("double") / F.lit(float(1 << 26))
+    lookup = F.array(*[F.lit(int(v)) for v in scene.lookup])
+    cx = F.array(*[F.lit(float(v)) for v in scene.cx])
+    cy = F.array(*[F.lit(float(v)) for v in scene.cy])
+    diam = F.array(*[F.lit(float(v)) for v in scene.diam])
+    slot = F.floor(u_pick * F.lit(float(LOOKUP_LEN))).cast("int")
+    k = F.element_at(lookup, slot + F.lit(1))
+    in_cluster = u_mode < F.lit(CLUSTER_PROB)
+    kx = F.element_at(cx, k + F.lit(1))
+    ky = F.element_at(cy, k + F.lit(1))
+    kd = F.element_at(diam, k + F.lit(1))
+    x = F.when(in_cluster, kx + (u_x - F.lit(0.5)) * kd).otherwise(F.lit(SCATTER_LO) + u_x * F.lit(SCATTER_SPAN))
+    y = F.when(in_cluster, ky + (u_y - F.lit(0.5)) * kd).otherwise(F.lit(SCATTER_LO) + u_y * F.lit(SCATTER_SPAN))
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# Pixel / caption / row synthesis (pure function of image_id)
+# ---------------------------------------------------------------------------
+
+
+def expected_pixels(image_id: str) -> np.ndarray:
+    """Deterministic RGB image for an id — the oracle for the PSNR check."""
+    hp = codecs.xxh64((image_id + "#px").encode()) & ((1 << 64) - 1)
+    w = IMAGE_SIZES[hp % 3]
+    h = IMAGE_SIZES[(hp >> 2) % 3]
+    base = np.array([(hp >> 8) & 0xFF, (hp >> 16) & 0xFF, (hp >> 24) & 0xFF], dtype=np.float64)
+    gx = np.array([(hp >> 32) & 0x3F, (hp >> 38) & 0x3F, (hp >> 44) & 0x3F], dtype=np.float64) - 32.0
+    gy = np.array([(hp >> 50) & 0x3F, (hp >> 56) & 0x3F, hp & 0x3F], dtype=np.float64) - 32.0
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float64) / h, np.arange(w, dtype=np.float64) / w, indexing="ij")
+    img = base[None, None, :] + xx[:, :, None] * gx[None, None, :] * 2.0 + yy[:, :, None] * gy[None, None, :] * 2.0
+    period = 4 + (hp >> 5) % 8
+    checker = (((np.arange(w) // period)[None, :] + (np.arange(h) // period)[:, None]) % 2).astype(np.float64)
+    img += checker[:, :, None] * 24.0
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
+def expected_caption(image_id: str) -> str:
+    hc = codecs.xxh64((image_id + "#cap").encode()) & ((1 << 64) - 1)
+    adj = _ADJS[hc % len(_ADJS)]
+    noun = _NOUNS[(hc >> 8) % len(_NOUNS)]
+    place = _PLACES[(hc >> 16) % len(_PLACES)]
+    return f"a {adj} {noun} near {place}"
+
+
+def image_fmt(image_id: str) -> str:
+    hf = codecs.xxh64((image_id + "#fmt").encode()) & ((1 << 64) - 1)
+    return FORMATS[hf % 3]
+
+
+def make_row(i: int) -> dict:
+    image_id = f"img_{i:012d}"
+    px = expected_pixels(image_id)
+    fmt = image_fmt(image_id)
+    data = codecs.encode(px, fmt)
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": px.shape[1],
+        "h": px.shape[0],
+        "fmt": fmt,
+        "caption": expected_caption(image_id),
+        "phash": codecs.phash(codecs.decode(data, fmt)),
+    }
+
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
+
+
+def synth_images_df(spark, n: int, n_partitions: int | None = None):
+    """Distributed payload synthesis: ``spark.range(n)`` → mapInPandas.
+
+    Every row is a pure function of its index, so the table is identical
+    regardless of partitioning/retries — the property that lets the
+    10^12-scale variant be generated (or re-generated) lazily on a real
+    cluster with no coordination.
+    """
+    import pandas as pd
+
+    if n_partitions is None:
+        n_partitions = max(4, min(256, n // 2000))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, n_partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def images_sf_count(sf_dir: str) -> int:
+    """Map the driver's sf tier to the payload row count (FIXTURES.md §1)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.001
+    return int(round(sf * 2_000_000))
+
+
+def ensure_images_table(spark, n: int, cache_root: str = "/root/repo/.synth") -> str:
+    """Materialize the synthetic table once per size; return parquet path.
+
+    Written partitioned by a coarse derived cell ("Iceberg-style layout",
+    SURVEY.md §1.2) so downstream scans get partition pruning on spatial
+    predicates.
+    """
+    from pyspark.sql import functions as F
+
+    from .cells import DEFAULT_GRID, encode_col, parent_col
+
+    path = os.path.join(cache_root, f"images_n{n}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    df = synth_images_df(spark, n)
+    x, y = geocode_cols(F.col("image_id"))
+    cell = encode_col(x, y, 10)
+    df = df.withColumn("pcell", parent_col(cell, 10, 3))
+    df.write.mode("overwrite").partitionBy("pcell").parquet(path)
+    return path
+
+
+def settlements_pdf(scene: Scene | None = None):
+    """Settlement polygons as a pandas DataFrame (driver-side, tiny)."""
+    import pandas as pd
+
+    scene = scene or default_scene()
+    rows = []
+    for sid, name, rings in scene.polygons:
+        minx, miny, maxx, maxy = rings_bbox(rings)
+        rows.append(
+            {
+                "sid": sid,
+                "name": name,
+                "rings": [r.tolist() for r in rings],
+                "minx": minx,
+                "miny": miny,
+                "maxx": maxx,
+                "maxy": maxy,
+                "area": polygon_area(rings),
+                "outer_area": abs(ring_area(rings[0])),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SETTLEMENTS_SCHEMA = (
+    "sid long, name string, rings array<array<array<double>>>, "
+    "minx double, miny double, maxx double, maxy double, area double, outer_area double"
+)
+
+
+def settlements_df(spark, scene: Scene | None = None):
+    return spark.createDataFrame(settlements_pdf(scene), SETTLEMENTS_SCHEMA)

@@ -1,0 +1,128 @@
+"""Codec roundtrips, PSNR invariant, phash stability, xxhash64 parity."""
+
+import numpy as np
+
+from ib_tool_spark import codecs, synth
+
+
+def _rand_img(rng, w=32, h=32):
+    return rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.RandomState(0)
+    img = _rand_img(rng, 64, 16)
+    assert (codecs.ppm_decode(codecs.ppm_encode(img)) == img).all()
+
+
+def test_png_roundtrip_lossless():
+    rng = np.random.RandomState(1)
+    for w, h in ((16, 16), (32, 64), (64, 32)):
+        img = _rand_img(rng, w, h)
+        out = codecs.png_decode(codecs.png_encode(img))
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+
+def test_png_decoder_handles_all_filters():
+    """Our encoder emits filter 0, but the decoder must handle 1-4 (PNG spec)."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(2)
+    img = _rand_img(rng, 8, 5)
+    h, w = img.shape[:2]
+    raw = img.reshape(h, w * 3).astype(np.int32)
+    lines = []
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for row in range(h):
+        f = row % 5
+        cur = raw[row]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - np.concatenate([[0, 0, 0], cur[:-3]])) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            a = np.concatenate([[0, 0, 0], cur[:-3]])
+            enc = (cur - ((a + prev) >> 1)) & 0xFF
+        else:
+            a = np.concatenate([[0, 0, 0], cur[:-3]])
+            c_ = np.concatenate([[0, 0, 0], prev[:-3]])
+            p = a + prev - c_
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c_)
+            pr = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c_))
+            enc = (cur - pr) & 0xFF
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        codecs._PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + codecs._chunk(b"IEND", b"")
+    )
+    assert (codecs.png_decode(data) == img).all()
+
+
+def test_tdc_psnr_above_40():
+    rng = np.random.RandomState(3)
+    worst = np.inf
+    for w, h in ((16, 16), (32, 32), (64, 64), (64, 16)):
+        img = _rand_img(rng, w, h)
+        out = codecs.tdc_decode(codecs.tdc_encode(img))
+        worst = min(worst, codecs.psnr(img, out))
+    assert worst >= 40.0, worst
+
+
+def test_psnr_inf_for_identical():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    assert codecs.psnr(img, img) == float("inf")
+
+
+def test_phash_stable_and_discriminative():
+    a = synth.expected_pixels("img_000000000001")
+    b = synth.expected_pixels("img_000000000002")
+    ha1, ha2 = codecs.phash(a), codecs.phash(a)
+    assert ha1 == ha2
+    assert ha1 != codecs.phash(b)
+    # lossy roundtrip keeps the hash close (perceptual property)
+    a_tdc = codecs.tdc_decode(codecs.tdc_encode(a))
+    d = bin((ha1 ^ codecs.phash(a_tdc)) & ((1 << 64) - 1)).count("1")
+    assert d <= 6, d
+
+
+def test_xxh64_scalar_vs_vectorized():
+    ids = [f"img_{i:012d}" for i in range(200)]
+    vec = codecs.xxh64_strings(ids)
+    for i, s in enumerate(ids):
+        assert vec[i] == codecs.xxh64(s.encode())
+
+
+def test_xxh64_matches_spark(spark):
+    """Pin the mirror to Spark's built-in xxhash64 (seed 42)."""
+    from pyspark.sql import functions as F
+
+    ids = [f"img_{i:012d}" for i in range(50)] + ["a" * 40, "x", "0123456789abcdef0123456789abcdef07"]
+    df = spark.createDataFrame([(s,) for s in ids], ["s"]).select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    got = {r.s: r.h for r in df.collect()}
+    for s in ids:
+        assert got[s] == codecs.xxh64(s.encode()), s
+
+
+def test_make_row_invariants():
+    for i in (0, 7, 123):
+        row = synth.make_row(i)
+        img = codecs.decode(row["bytes"], row["fmt"])
+        exp = synth.expected_pixels(row["image_id"])
+        assert img.shape == exp.shape == (row["h"], row["w"], 3)
+        p = codecs.psnr(img, exp)
+        if row["fmt"] in ("png", "ppm"):
+            assert p == float("inf")
+        else:
+            assert p >= 40.0
+        assert row["caption"] == synth.expected_caption(row["image_id"])
+        assert row["phash"] == codecs.phash(img)

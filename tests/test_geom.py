@@ -1,0 +1,154 @@
+"""Geometry kernels vs hand-computed / brute-force oracles."""
+
+import numpy as np
+
+from ib_tool_spark import geom
+
+SQ = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])]
+SQ_HOLE = SQ + [np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]])]
+
+
+def test_area_perimeter_centroid():
+    assert geom.ring_area(SQ[0]) == 100.0
+    assert geom.polygon_area(SQ_HOLE) == 96.0
+    assert geom.polygon_perimeter(SQ) == 40.0
+    assert geom.ring_centroid(SQ[0]) == (5.0, 5.0)
+
+
+def test_pip_basic_and_holes():
+    px = np.array([5.0, 5.0, -1.0, 10.5, 5.0])
+    py = np.array([5.0, 9.9, 5.0, 5.0, -0.1])
+    got = geom.points_in_polygon(px, py, SQ)
+    assert got.tolist() == [True, True, False, False, False]
+    got = geom.points_in_polygon(np.array([5.0, 3.0]), np.array([5.0, 5.0]), SQ_HOLE)
+    assert got.tolist() == [False, True]  # hole center excluded
+
+
+def test_pip_boundary_rule_consistency():
+    """Points exactly on shared edges belong to exactly one of two
+    adjacent squares (half-open rule → no dupes, no gaps in tilings)."""
+    left = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])]
+    right = [np.array([[10.0, 0.0], [20.0, 0.0], [20.0, 10.0], [10.0, 10.0]])]
+    px = np.array([10.0, 10.0, 10.0])
+    py = np.array([2.0, 5.0, 9.0])
+    inl = geom.points_in_polygon(px, py, left)
+    inr = geom.points_in_polygon(px, py, right)
+    assert ((inl.astype(int) + inr.astype(int)) == 1).all()
+
+
+def test_pip_concave():
+    # C-shape
+    c = [
+        np.array(
+            [[0, 0], [10, 0], [10, 3], [3, 3], [3, 7], [10, 7], [10, 10], [0, 10]],
+            dtype=float,
+        )
+    ]
+    px = np.array([5.0, 1.5, 5.0])
+    py = np.array([5.0, 5.0, 1.0])
+    assert geom.points_in_polygon(px, py, c).tolist() == [False, True, True]
+
+
+def test_segments_intersect():
+    a = np.array([[0, 0, 10, 10], [0, 0, 1, 1], [0, 0, 10, 0], [0, 0, 5, 5]], dtype=float)
+    b = np.array([[0, 10, 10, 0], [5, 0, 5, 10], [20, 1, 30, 1], [5, 5, 9, 9]], dtype=float)
+    got = geom.segments_intersect(a, b)
+    assert got.tolist() == [True, False, False, True]
+
+
+def test_convex_hull_and_mbr():
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(0, 1, (200, 2))
+    hull = geom.convex_hull(pts)
+    assert geom.points_in_polygon(pts[:, 0], pts[:, 1], [hull * 1.0000001 - 0.00000005]).all()
+    # rotated rectangle: MBR must recover area w*h and the rotation
+    w, h, ang = 8.0, 3.0, 0.5
+    rect = np.array([[0, 0], [w, 0], [w, h], [0, h]])
+    rot = np.array([[np.cos(ang), np.sin(ang)], [-np.sin(ang), np.cos(ang)]])
+    corners, area, got_ang = geom.oriented_mbr(rect @ rot)
+    assert abs(area - w * h) < 1e-9
+    assert abs((got_ang % (np.pi / 2)) - ang) < 1e-9
+
+
+def test_cover_cells_vs_bruteforce():
+    """full cells contain only inside points; all inside points land in
+    a kept cell; boundary classification is conservative."""
+    from ib_tool_spark import cells
+
+    rng = np.random.RandomState(1)
+    ring = np.array(
+        [[20000, 20000], [28000, 21000], [30000, 28000], [24000, 31000], [19000, 27000]],
+        dtype=float,
+    )
+    rings = [ring]
+    res = 10
+    cc, full = geom.cover_cells(rings, res)
+    cellset = dict(zip(cc.tolist(), full.tolist()))
+    x = rng.uniform(18000, 32000, 5000)
+    y = rng.uniform(18000, 32000, 5000)
+    inside = geom.points_in_polygon(x, y, rings)
+    pc = cells.encode(x, y, res)
+    for i in range(x.shape[0]):
+        c = int(pc[i])
+        if inside[i]:
+            assert c in cellset  # no inside point outside the cover
+            # and if its cell says "full", that is consistent by definition
+        if c in cellset and cellset[c]:
+            assert inside[i]  # full cells never contain outside points
+
+
+def test_kruskal_vs_bruteforce():
+    rng = np.random.RandomState(2)
+    n = 8
+    pts = rng.uniform(0, 100, (n, 2))
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            edges.append([i, j, float(np.hypot(*(pts[i] - pts[j])))])
+    edges = np.array(edges)
+    picked = geom.kruskal_mst(n, edges)
+    assert picked.shape[0] == n - 1
+    got_w = edges[picked, 2].sum()
+    # brute force over all spanning trees is expensive; compare with Prim
+    import heapq
+
+    seen = {0}
+    pq = [(float(np.hypot(*(pts[0] - pts[j]))), j) for j in range(1, n)]
+    heapq.heapify(pq)
+    total = 0.0
+    while len(seen) < n:
+        d, j = heapq.heappop(pq)
+        if j in seen:
+            continue
+        seen.add(j)
+        total += d
+        for k in range(n):
+            if k not in seen:
+                heapq.heappush(pq, (float(np.hypot(*(pts[j] - pts[k]))), k))
+    assert abs(got_w - total) < 1e-9
+
+
+def test_delaunay_square_and_mst_subset():
+    pts = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [5, 5]], dtype=float)
+    e = geom.delaunay_edges(pts)
+    pairs = {tuple(r) for r in e.tolist()}
+    # center connects to all corners
+    for c in range(4):
+        assert (min(c, 4), max(c, 4)) in pairs
+    # all 4 outer edges present
+    for a, b in ((0, 1), (1, 2), (2, 3), (0, 3)):
+        assert (a, b) in pairs
+
+    # Delaunay contains the Euclidean MST (classic property) on random pts
+    rng = np.random.RandomState(3)
+    rp = rng.uniform(0, 1000, (40, 2))
+    de = {tuple(r) for r in geom.delaunay_edges(rp).tolist()}
+    full = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            full.append([i, j, float(np.hypot(*(rp[i] - rp[j])))])
+    full = np.array(full)
+    picked = geom.kruskal_mst(40, full)
+    for idx in picked:
+        a, b = int(full[idx, 0]), int(full[idx, 1])
+        assert (a, b) in de

@@ -1,0 +1,161 @@
+"""Operator-level tests: Spark plans vs pure-pandas/numpy oracles.
+
+North-rule parity gate: the Spark pip_join / knn_assign / density_grid /
+tile_assign outputs must match a brute-force single-node oracle row for
+row (SURVEY.md §5 "pipeline parity tests").
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ib_tool_spark import cells, geom, ops, synth
+
+N = 1500  # smoke-tier image count for operator parity
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synth.default_scene()
+
+
+@pytest.fixture(scope="module")
+def ids():
+    return np.array([f"img_{i:012d}" for i in range(N)])
+
+
+@pytest.fixture(scope="module")
+def points_df(spark, ids):
+    df = spark.createDataFrame(pd.DataFrame({"image_id": ids}))
+    return ops.with_cell(ops.with_geocode(df), 10)
+
+
+def test_geocode_spark_matches_numpy(spark, ids, points_df):
+    got = points_df.select("image_id", "x", "y").toPandas().set_index("image_id")
+    ex, ey = synth.geocode_np(ids)
+    gx = got.loc[ids, "x"].to_numpy()
+    gy = got.loc[ids, "y"].to_numpy()
+    assert (gx == ex).all(), np.abs(gx - ex).max()
+    assert (gy == ey).all()
+
+
+def test_geocode_cluster_fraction(ids):
+    """~80% of points fall in clusters; skew exists (cluster 0 densest)."""
+    x, y = synth.geocode_np(ids)
+    scene = synth.default_scene()
+    inside_any = np.zeros(len(ids), dtype=bool)
+    for sid, _n, rings in scene.polygons:
+        inside_any |= geom.points_in_polygon(x, y, rings)
+    frac = inside_any.mean()
+    assert 0.45 < frac < 0.9, frac
+
+
+def oracle_pip(ids, scene):
+    x, y = synth.geocode_np(ids)
+    rows = []
+    for sid, _name, rings in scene.polygons:
+        m = geom.points_in_polygon(x, y, rings)
+        for i in np.nonzero(m)[0]:
+            rows.append((ids[i], sid))
+    return pd.DataFrame(rows, columns=["image_id", "sid"])
+
+
+def test_pip_join_matches_oracle(spark, ids, points_df, scene):
+    got = (
+        ops.pip_join(points_df, scene.polygons, 10)
+        .select("image_id", "sid")
+        .toPandas()
+        .sort_values(["image_id", "sid"])
+        .reset_index(drop=True)
+    )
+    want = oracle_pip(ids, scene).sort_values(["image_id", "sid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) > N * 0.3  # sanity: a healthy share matched
+
+
+def test_pip_join_anti(spark, ids, points_df, scene):
+    matched = set(oracle_pip(ids, scene)["image_id"])
+    got = ops.pip_join(points_df, scene.polygons, 10, how="anti").select("image_id").toPandas()
+    assert set(got["image_id"]) == set(ids) - matched
+
+
+def test_tile_assign_matches_parent(spark, points_df):
+    got = ops.tile_assign(points_df, 10, 6).select("cell", "tile").toPandas()
+    want = cells.parent(got["cell"].to_numpy(), 6)
+    assert (got["tile"].to_numpy() == want).all()
+
+
+def test_knn_assign_matches_bruteforce(spark, ids, points_df, scene):
+    centers = pd.DataFrame(
+        {"center_id": np.arange(len(scene.cx)), "cx": scene.cx, "cy": scene.cy}
+    )
+    cutoff = 3000.0
+    got = (
+        ops.knn_assign(points_df.select("image_id", "x", "y"), centers, cutoff)
+        .select("image_id", "nearest_id", "nearest_dist")
+        .toPandas()
+        .set_index("image_id")
+    )
+    x, y = synth.geocode_np(ids)
+    d2 = (x[:, None] - scene.cx[None, :]) ** 2 + (y[:, None] - scene.cy[None, :]) ** 2
+    best = np.argmin(d2, axis=1)
+    bestd = np.sqrt(d2[np.arange(len(ids)), best])
+    expected_ids = {ids[i]: int(best[i]) for i in range(len(ids)) if bestd[i] <= cutoff}
+    assert set(got.index) == set(expected_ids)
+    for iid, bid in expected_ids.items():
+        assert int(got.loc[iid, "nearest_id"]) == bid
+    # distances match to float tolerance
+    for iid in list(expected_ids)[:100]:
+        i = int(iid[4:])
+        assert abs(got.loc[iid, "nearest_dist"] - bestd[ids.tolist().index(iid)]) < 1e-9
+
+
+def test_density_grid_matches_bruteforce(spark, ids, points_df):
+    cs, radius = 500.0, 1200.0
+    got = ops.density_grid(points_df, cs, radius).toPandas()
+    x, y = synth.geocode_np(ids)
+    gx = np.floor(x / cs).astype(np.int64)
+    gy = np.floor(y / cs).astype(np.int64)
+    binned = pd.DataFrame({"gx": gx, "gy": gy}).groupby(["gx", "gy"]).size()
+    r = int(np.floor(radius / cs))
+    offs = cells.k_ring_offsets(r)
+    offs = offs[offs[:, 0] ** 2 + offs[:, 1] ** 2 <= (radius / cs) ** 2]
+    want = {}
+    for (bx, by), cnt in binned.items():
+        for dx, dy in offs:
+            key = (bx + dx, by + dy)
+            want[key] = want.get(key, 0) + cnt
+    got_map = {(int(r_.gx), int(r_.gy)): int(r_.nsum) for r_ in got.itertuples()}
+    assert got_map == want
+    area = np.pi * radius**2
+    for r_ in got.itertuples():
+        assert abs(r_.density - got_map[(int(r_.gx), int(r_.gy))] / area) < 1e-12
+
+
+def test_decode_validate_all_ok(spark):
+    df = synth.synth_images_df(spark, 120, 4)
+    res = ops.decode_validate(df).toPandas()
+    assert len(res) == 120
+    assert res["pixels_ok"].all()
+    assert res["caption_ok"].all()
+    assert res["phash_ok"].all()
+    assert set(res["fmt"]) == {"png", "ppm", "tdc"}
+
+
+def test_flagship_end_to_end(spark, scene):
+    from ib_tool_spark import pipeline
+
+    out = pipeline.flagship(spark, n_images=800).toPandas()
+    assert len(out) > 200
+    assert out["sid"].between(0, 47).all()
+    # tile is the parent of cell
+    assert (cells.parent(out["cell"].to_numpy(), pipeline.TILE_RES) == out["tile"].to_numpy()).all()
+    # names consistent
+    assert (out["name"] == out["sid"].map(lambda s: f"SETT_{s:03d}")).all()
+    # deterministic across runs
+    out2 = pipeline.flagship(spark, n_images=800).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["image_id", "sid"]).reset_index(drop=True),
+        out2.sort_values(["image_id", "sid"]).reset_index(drop=True),
+    )
