@@ -1,0 +1,89 @@
+"""Throughput benchmark for the ib_tool_spark engine.
+
+Prints ONE JSON line:
+  {"metric": "images_per_sec@flagship", "value": <images/sec>,
+   "unit": "images/sec", "queries": {<name>: seconds, ...}, "sf": <sf>,
+   "n_images": N, "cpus": C}
+
+Env:
+  SPARK_GRAFT_SF_DIR   driver-table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_RUNS           timed runs per query (default 2; median reported)
+
+The flagship body (BASELINE.json metric): geocode → H3/S2 cell encode →
+PIP join vs settlement polygons → tile assign, over the deterministic
+synthetic image table at this sf tier.  Synth-table materialization is
+excluded from timing (it is input data, cached under .synth/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
+
+    import __spark_entry__ as entrymod
+    from ib_tool_spark import pipeline, synth
+
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    n_images = synth.images_sf_count(sf_dir)
+
+    spark = pipeline.get_spark(app="ib_tool_bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    # materialize input once (excluded from timing)
+    images_path = synth.ensure_images_table(spark, n_images)
+    images = spark.read.parquet(images_path)
+
+    def run_flagship():
+        return pipeline.flagship(spark, n_images=n_images, images=images).count()
+
+    qs = entrymod.queries()
+    bench_queries = {
+        "flagship_pip_tile": run_flagship,
+        "a1_pricing_summary": lambda: qs["a1_pricing_summary"](spark, sf_dir).count(),
+        "j2_revenue_by_nation": lambda: qs["j2_revenue_by_nation"](spark, sf_dir).count(),
+        "o3_topk_window": lambda: qs["o3_topk_window"](spark, sf_dir).count(),
+        "g_pip_polygon": lambda: qs["g_pip_polygon"](spark, sf_dir).count(),
+        "g_density_grid": lambda: qs["g_density_grid"](spark, sf_dir).count(),
+        "g_knn_assign": lambda: qs["g_knn_assign"](spark, sf_dir).count(),
+        "t_near_dup_jaccard": lambda: qs["t_near_dup_jaccard"](spark, sf_dir).count(),
+        "e_ann_topk_ip": lambda: qs["e_ann_topk_ip"](spark, sf_dir).count(),
+        "img_decode_validate": lambda: entrymod.queries()["img_decode_validate"](spark, sf_dir).count(),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        fn()  # warm-up (codegen, broadcast, page cache)
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(ts), 4)
+
+    flagship_sec = timings["flagship_pip_tile"]
+    out = {
+        "metric": "images_per_sec@flagship",
+        "value": round(n_images / flagship_sec, 1),
+        "unit": "images/sec",
+        "queries": timings,
+        "sf": sf,
+        "n_images": n_images,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -179,7 +179,11 @@ def knn_assign(
     cand_df = spark.createDataFrame(cand, "cell long, center_id long, cx double, cy double")
     pts = points.withColumn("__kcell", encode_col(F.col("x"), F.col("y"), res, grid))
     joined = pts.join(F.broadcast(cand_df), pts["__kcell"] == cand_df["cell"], "inner").drop(cand_df["cell"])
-    d2 = (F.col("x") - F.col("cx")) ** 2 + (F.col("y") - F.col("cy")) ** 2
+    # (x-cx)*(x-cx), not pow(x, 2): keeps the float result bit-identical
+    # to the SQL oracle and the numpy mirror (Math.pow may differ in ulp)
+    dx = F.col("x") - F.col("cx")
+    dy = F.col("y") - F.col("cy")
+    d2 = dx * dx + dy * dy
     joined = joined.withColumn("__d2", d2).filter(F.col("__d2") <= float(cutoff) ** 2)
     keys = [c for c in points.columns]
     out = (
