@@ -440,6 +440,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e_ann_topk_ip"] = e_ann_topk_ip
 
+    # ---- dedup/similarity families (hash-based → rows-only checks;
+    #      exact parity is pinned by tests/test_textops.py mirrors) ----
+
+    def t_minhash_lsh(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import textops
+
+        d = _t(spark, sf_dir, "documents")
+        return textops.minhash_near_dups(d, tau=0.3)
+
+    q["t_minhash_lsh"] = t_minhash_lsh
+
+    def t_simhash64(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import textops
+
+        return textops.simhash(_t(spark, sf_dir, "documents"))
+
+    q["t_simhash64"] = t_simhash64
+
+    def t_winnow_fp(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import textops
+
+        fp = textops.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+        return fp.select("doc_id", F.size("fingerprints").cast("long").alias("n_fp"))
+
+    q["t_winnow_fp"] = t_winnow_fp
+
+    def e_embed_near_dup(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import textops
+
+        # tau tuned to the driver embeddings' cluster structure (max
+        # pairwise cosine ≈ 0.48); LSH candidates then exact-cosine refine
+        return textops.embedding_near_dups(_t(spark, sf_dir, "embeddings"), _ANN_DIM, tau=0.3)
+
+    q["e_embed_near_dup"] = e_embed_near_dup
+
+    def e_ivf_topk(spark, sf_dir):
+        import numpy as np
+
+        _ship(spark)
+        from ib_tool_spark import textops
+
+        emb = _t(spark, sf_dir, "embeddings")
+        C = textops.ivf_centroids(emb, _ANN_DIM, n_cells=16, sample=1024)
+        assigned = textops.ivf_assign(emb, C)
+        qv = np.array(_ANN_QV)
+        return textops.ivf_topk(assigned, C, qv, k=_ANN_K, n_probe=4)
+
+    q["e_ivf_topk"] = e_ivf_topk
+
     # ---- payload-table ops (synthetic images; rows-only checks) ----
 
     def img_flagship_pip(spark, sf_dir):

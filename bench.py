@@ -9,6 +9,10 @@ Env:
   SPARK_GRAFT_SF_DIR   driver-table dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   BENCH_RUNS           timed runs per query (default 2; median reported)
+  BENCH_N_IMAGES       override payload row count (scaling runs use a
+                       larger table so fixed job overheads don't mask
+                       the throughput ratio)
+  BENCH_FLAGSHIP_ONLY  "1" → time only the flagship body
 
 The flagship body (BASELINE.json metric): geocode → H3/S2 cell encode →
 PIP join vs settlement polygons → tile assign, over the deterministic
@@ -36,7 +40,7 @@ def main() -> None:
     from ib_tool_spark import pipeline, synth
 
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
-    n_images = synth.images_sf_count(sf_dir)
+    n_images = int(os.environ.get("BENCH_N_IMAGES", "0")) or synth.images_sf_count(sf_dir)
 
     spark = pipeline.get_spark(app="ib_tool_bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
@@ -48,18 +52,21 @@ def main() -> None:
         return pipeline.flagship(spark, n_images=n_images, images=images).count()
 
     qs = entrymod.queries()
-    bench_queries = {
-        "flagship_pip_tile": run_flagship,
-        "a1_pricing_summary": lambda: qs["a1_pricing_summary"](spark, sf_dir).count(),
-        "j2_revenue_by_nation": lambda: qs["j2_revenue_by_nation"](spark, sf_dir).count(),
-        "o3_topk_window": lambda: qs["o3_topk_window"](spark, sf_dir).count(),
-        "g_pip_polygon": lambda: qs["g_pip_polygon"](spark, sf_dir).count(),
-        "g_density_grid": lambda: qs["g_density_grid"](spark, sf_dir).count(),
-        "g_knn_assign": lambda: qs["g_knn_assign"](spark, sf_dir).count(),
-        "t_near_dup_jaccard": lambda: qs["t_near_dup_jaccard"](spark, sf_dir).count(),
-        "e_ann_topk_ip": lambda: qs["e_ann_topk_ip"](spark, sf_dir).count(),
-        "img_decode_validate": lambda: entrymod.queries()["img_decode_validate"](spark, sf_dir).count(),
-    }
+    if os.environ.get("BENCH_FLAGSHIP_ONLY") == "1":
+        bench_queries = {"flagship_pip_tile": run_flagship}
+    else:
+        bench_queries = {
+            "flagship_pip_tile": run_flagship,
+            "a1_pricing_summary": lambda: qs["a1_pricing_summary"](spark, sf_dir).count(),
+            "j2_revenue_by_nation": lambda: qs["j2_revenue_by_nation"](spark, sf_dir).count(),
+            "o3_topk_window": lambda: qs["o3_topk_window"](spark, sf_dir).count(),
+            "g_pip_polygon": lambda: qs["g_pip_polygon"](spark, sf_dir).count(),
+            "g_density_grid": lambda: qs["g_density_grid"](spark, sf_dir).count(),
+            "g_knn_assign": lambda: qs["g_knn_assign"](spark, sf_dir).count(),
+            "t_near_dup_jaccard": lambda: qs["t_near_dup_jaccard"](spark, sf_dir).count(),
+            "e_ann_topk_ip": lambda: qs["e_ann_topk_ip"](spark, sf_dir).count(),
+            "img_decode_validate": lambda: entrymod.queries()["img_decode_validate"](spark, sf_dir).count(),
+        }
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():

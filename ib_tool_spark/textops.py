@@ -1,0 +1,397 @@
+"""Training-data pipeline operators: dedup, similarity, fingerprints.
+
+These extend the engine beyond the reference's operator inventory with
+the ops a 100 TB training-data pipeline needs (deduplication families,
+similarity search, document fingerprinting).  Design rules:
+
+- hashing stays JVM-side wherever possible (``F.xxhash64`` — mirrored
+  bit-exactly by codecs.xxh64 for the pure-python test oracles);
+- numpy-heavy math (hyperplane signatures, exact cosine) runs in
+  Arrow-batched pandas UDFs, never per-row Python;
+- candidate generation is always an equi-join on a derived key
+  (shingle, LSH band, IVF cell) — the same candidate-then-refine shape
+  as the spatial pip/knn joins, so no cross joins at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Shared tokenization (identical to the t_near_dup_jaccard oracle)
+def tokens_col(text: "F.Column"):
+    return F.split(F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")), " ")
+
+
+def shingles_expr(toks_name: str, n: int = 3):
+    """Word n-gram shingles of an array column (empty if < n tokens)."""
+    parts = " , ' ', ".join(f"element_at({toks_name}, i + {j})" for j in range(n))
+    return F.when(
+        F.size(F.col(toks_name)) >= n,
+        F.expr(f"transform(sequence(1, size({toks_name}) - {n - 1}), i -> concat({parts}))"),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct rows."""
+    t = tokens_col(F.col(text_col)).alias("toks")
+    d = docs.select(F.col(id_col).alias("doc_id"), t)
+    return d.select("doc_id", F.explode(F.array_distinct(shingles_expr("toks", n))).alias("shingle"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    xxhash64(shingle ++ '#i').
+
+    Entirely JVM-side: one shuffle (groupBy doc) with map-side partial
+    min aggregation — at 10^12 docs this is a single well-partitioned
+    agg, no Python.  Returns (doc_id, sig array<long>).
+    """
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = shingles.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Bucket key = xxhash64 of the band's slice of the signature; the
+    pair join is an equi-join on (band, bucket) — shuffle volume is
+    O(docs × bands), never O(docs²).  Returns (doc_a, doc_b,
+    est_jaccard) where est_jaccard = fraction of matching minhashes.
+    """
+    num_hashes = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(F.concat_ws(",", sl.cast("array<string>"))).alias("bucket"))
+        )
+    exploded = sigs.select("doc_id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def minhash_near_dups(
+    docs: DataFrame, tau: float = 0.5, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    sh = doc_shingles(docs)
+    sigs = minhash_signatures(sh, num_hashes)
+    return lsh_candidate_pairs(sigs, bands, num_hashes // bands).filter(
+        F.col("est_jaccard") >= tau
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over tokens (JVM-side bit voting).
+
+    For each bit i: vote = Σ over tokens of (+1 if bit set else -1);
+    hash bit = vote > 0.  One shuffle (groupBy doc) with partial aggs.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 8, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on bit-prefix bands, refine by
+    exact Hamming distance (bit_count of xor)."""
+    sh = simhash(docs)
+    # 4 bands of 16 bits — two docs within hamming<=8 share >=1 exact
+    # band with good probability; standard simhash blocking
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * prefix_bits)
+                        .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(64 // prefix_bits)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fingerprints", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+    """Document fingerprinting via winnowing (Schleimer et al. 2003):
+    k-gram char rolling hashes, per-window minima, distinct set.
+
+    Vectorized numpy per text inside mapInPandas (the rolling hash is
+    a strided multiply-accumulate, no Python char loops).
+    """
+    B = np.uint64(1000003)
+    powk = B ** np.uint64(k - 1)
+
+    def fp_one(s: str) -> list[int]:
+        raw = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        n = raw.shape[0]
+        if n < k:
+            return []
+        old = np.seterr(over="ignore")
+        try:
+            h = np.zeros(n - k + 1, dtype=np.uint64)
+            acc = np.uint64(0)
+            for j in range(k):
+                acc = acc * B + raw[j]
+            h[0] = acc
+            if n > k:
+                # rolling update, vectorized via cumulative trick:
+                # h[i+1] = (h[i] - raw[i]*B^(k-1)) * B + raw[i+k]
+                for i in range(n - k):
+                    acc = (acc - raw[i] * powk) * B + raw[i + k]
+                    h[i + 1] = acc
+            m = h.shape[0]
+            if m <= window:
+                mins = np.array([h.min()], dtype=np.uint64)
+            else:
+                strides = np.lib.stride_tricks.sliding_window_view(h, window)
+                mins = strides.min(axis=1)
+            return sorted(set(int(v) - (1 << 64) if int(v) >= 1 << 63 else int(v) for v in mins))
+        finally:
+            np.seterr(**old)
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fingerprints": [fp_one(t) for t in pdf["text"]]}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, _FP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: hyperplane-LSH near-dup + IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def embedding_signatures(emb: DataFrame, dim: int, n_planes: int = 16, seed: int = 7) -> DataFrame:
+    """Random-hyperplane signature (int bucket) per vector — numpy
+    matmul over Arrow batches."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def sig(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) > 0  # (batch, planes)
+        out = np.zeros(mat.shape[0], dtype=np.int64)
+        for i in range(planes.shape[0]):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    return emb.withColumn("sig", sig(F.col("embedding")))
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    dim: int,
+    tau: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Cosine near-dup pairs: LSH-band candidates → exact cosine refine.
+
+    The candidate join is an equi-join on (band, key); exact cosine is
+    a vectorized numpy refine — same candidate-then-refine shape as
+    pip_join.  Returns (id_a, id_b, cosine).
+    """
+    sigs = embedding_signatures(emb, dim, n_planes)
+    bits_per_band = n_planes // bands
+    banded = sigs.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        A = np.vstack(ea.to_numpy())
+        Bm = np.vstack(eb.to_numpy())
+        num = (A * Bm).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((Bm * Bm).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    return (
+        pairs.withColumn("cosine", cos(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_centroids(emb: DataFrame, dim: int, n_cells: int = 16, sample: int = 2048, iters: int = 5, seed: int = 11) -> np.ndarray:
+    """Deterministic k-means-lite coarse quantizer trained on a sample
+    (driver-side numpy; the sample is tiny relative to the table)."""
+    pdf = emb.select("embedding").limit(sample).toPandas()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(X.shape[0], n_cells, replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (IVF list)."""
+    C = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return emb.withColumn("ivf_cell", assign(F.col("embedding")))
+
+
+def ivf_topk(
+    emb_assigned: DataFrame,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k for one query: probe the n_probe nearest IVF lists,
+    exact dot product inside them (partition-pruned scan at scale when
+    the table is written partitioned by ivf_cell)."""
+    d = ((centroids - query[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(d)[:n_probe].tolist()
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    prods = F.zip_with(F.col("embedding"), qlit, lambda x, y: x.cast("double") * y)
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        emb_assigned.filter(F.col("ivf_cell").isin(probe))
+        .select("vec_id", dot.alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id"))
+        .limit(k)
+    )

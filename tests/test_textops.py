@@ -1,0 +1,156 @@
+"""Dedup/similarity operators vs pure-python mirrors (xxh64-exact)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ib_tool_spark import codecs, textops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    import re
+
+    return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    t = _tokens(text)
+    if len(t) < n:
+        return set()
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_minhash_signature_matches_mirror(spark, docs):
+    sub = docs.filter(F.col("doc_id") < 30)
+    sh = textops.doc_shingles(sub)
+    got = {
+        r.doc_id: list(r.sig)
+        for r in textops.minhash_signatures(sh, num_hashes=8).collect()
+    }
+    pdf = sub.select("doc_id", "text").toPandas()
+    for _, row in pdf.iterrows():
+        s = _shingles(row["text"])
+        if not s:
+            assert row["doc_id"] not in got
+            continue
+        want = [min(codecs.xxh64(f"{x}#{i}".encode()) for x in s) for i in range(8)]
+        assert got[int(row["doc_id"])] == want
+
+
+def test_minhash_near_dups_finds_known_dupes(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, base.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different words about spark query engines and shuffles here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in textops.minhash_near_dups(df, tau=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_matches_mirror(spark, docs):
+    sub = docs.filter(F.col("doc_id") < 20)
+    got = {r.doc_id: r.simhash for r in textops.simhash(sub).collect()}
+    pdf = sub.select("doc_id", "text").toPandas()
+    for _, row in pdf.iterrows():
+        toks = _tokens(row["text"])
+        votes = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = codecs.xxh64(t.encode()) & ((1 << 64) - 1)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        want = 0
+        for i in range(64):
+            if votes[i] > 0:
+                want |= 1 << i
+        want = want - (1 << 64) if want >= (1 << 63) else want
+        assert got[int(row["doc_id"])] == want
+
+
+def test_simhash_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (0, base),
+        (1, base + " extra"),
+        (2, " ".join(f"other{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in textops.simhash_near_dups(df, max_hamming=12).collect()}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_winnow_fingerprints_mirror(spark):
+    texts = [(0, "abcdefghijabcdefghij"), (1, "hello world hello world hello"), (2, "xy")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: list(r.fingerprints) for r in textops.winnow_fingerprints(df, k=8, window=4).collect()}
+
+    def mirror(s, k=8, window=4):
+        raw = s.encode()
+        if len(raw) < k:
+            return []
+        B = 1000003
+        M = (1 << 64) - 1
+        hs = []
+        for i in range(len(raw) - k + 1):
+            acc = 0
+            for j in range(k):
+                acc = (acc * B + raw[i + j]) & M
+            hs.append(acc)
+        if len(hs) <= window:
+            mins = [min(hs)]
+        else:
+            mins = [min(hs[i : i + window]) for i in range(len(hs) - window + 1)]
+        return sorted({v - (1 << 64) if v >= 1 << 63 else v for v in mins})
+
+    for did, text in texts:
+        assert got[did] == mirror(text), did
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=64)
+    rows = [
+        (0, (base / np.linalg.norm(base)).tolist()),
+        (1, (1.5 * base / np.linalg.norm(base)).tolist()),  # same direction
+        (2, rng.normal(size=64).tolist()),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    got = {(r.id_a, r.id_b): r.cosine for r in textops.embedding_near_dups(df, 64, tau=0.95).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.999
+    assert all(2 not in p for p in got)
+
+
+def test_ivf_full_probe_matches_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    C = textops.ivf_centroids(emb, 64, n_cells=8, sample=256)
+    assigned = textops.ivf_assign(emb, C).cache()
+    q = np.array([((i * 37) % 13 - 6) / 6.0 for i in range(64)])
+    topk = textops.ivf_topk(assigned, C, q, k=10, n_probe=8).toPandas()
+    # brute force
+    pdf = emb.toPandas()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    dots = X @ q
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -dots))[:10]
+    assert topk["vec_id"].tolist() == pdf["vec_id"].to_numpy()[order].tolist()
+    # partial probe: high recall against brute force
+    part = textops.ivf_topk(assigned, C, q, k=10, n_probe=3).toPandas()
+    recall = len(set(part["vec_id"]) & set(pdf["vec_id"].to_numpy()[order])) / 10
+    assert recall >= 0.5, recall
