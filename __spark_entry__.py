@@ -493,6 +493,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e_ivf_topk"] = e_ivf_topk
 
+    # ---- delineation composites (synthetic scene; rows-only checks;
+    #      invariants pinned by tests/test_delineate.py) ----
+
+    def geo_partition_assign(spark, sf_dir):
+        import pandas as pd
+
+        _ship(spark)
+        from ib_tool_spark import delineate, ops, synth
+
+        n = min(synth.images_sf_count(sf_dir), 20000)
+        ids = [f"img_{i:012d}" for i in range(n)]
+        pts = ops.with_geocode(spark.createDataFrame(pd.DataFrame({"image_id": ids})))
+        parts = delineate.density_partitions(pts, 150.0, 300.0, 1e-5)
+        return (
+            delineate.assign_partitions(pts, parts, 150.0)
+            .groupBy("part_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["geo_partition_assign"] = geo_partition_assign
+
+    def geo_mst_clusters(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import delineate, synth
+
+        b = synth.buildings_df(spark, per_cluster=synth.buildings_sf_per_cluster(sf_dir))
+        b = b.withColumn("part", F.concat(F.lit("P"), F.col("true_cluster")))
+        return delineate.mst_cluster(b).select("bid", "cluster_id", "part")
+
+    q["geo_mst_clusters"] = geo_mst_clusters
+
+    def geo_cluster_boundaries(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import delineate, synth
+
+        b = synth.buildings_df(spark, per_cluster=synth.buildings_sf_per_cluster(sf_dir))
+        b = b.filter(F.col("true_cluster") < 8).withColumn(
+            "part", F.concat(F.lit("P"), F.col("true_cluster"))
+        )
+        clustered = delineate.mst_cluster(b)
+        joined = b.join(clustered.select("bid", "cluster_id"), "bid")
+        return delineate.cluster_boundaries(joined).select("cluster_id", "area", "n_buildings")
+
+    q["geo_cluster_boundaries"] = geo_cluster_boundaries
+
+    def geo_buffer_mask(spark, sf_dir):
+        import pandas as pd
+
+        _ship(spark)
+        from ib_tool_spark import delineate, ops, synth
+
+        n = min(synth.images_sf_count(sf_dir), 5000)
+        ids = [f"img_{i:012d}" for i in range(n)]
+        pts = ops.with_geocode(spark.createDataFrame(pd.DataFrame({"image_id": ids})))
+        cells_df, _polys = delineate.buffer_mask(pts, radius=400.0, cell_size=100.0)
+        return cells_df.groupBy("comp").agg(F.count(F.lit(1)).alias("n_cells"))
+
+    q["geo_buffer_mask"] = geo_buffer_mask
+
     # ---- payload-table ops (synthetic images; rows-only checks) ----
 
     def img_flagship_pip(spark, sf_dir):

@@ -82,10 +82,20 @@ def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
 # ---------------------------------------------------------------------------
 
 
+def coerce_ring(r) -> np.ndarray:
+    """Normalize a ring from any source (Arrow object arrays, lists)
+    to a (K, 2) float64 array."""
+    a = np.asarray(r)
+    if a.dtype == object or a.ndim != 2:
+        a = np.vstack([np.asarray(v, dtype=np.float64) for v in r])
+    return a.astype(np.float64, copy=False)
+
+
 def _rings_edges(rings: list[np.ndarray]) -> np.ndarray:
     """Concatenate all ring edges → (E, 4) array of (x1, y1, x2, y2)."""
     segs = []
     for r in rings:
+        r = coerce_ring(r)
         nxt = np.roll(r, -1, axis=0)
         segs.append(np.hstack([r, nxt]))
     return np.vstack(segs)
@@ -390,3 +400,114 @@ def delaunay_edges(pts: np.ndarray) -> np.ndarray:
     if not edges:
         return np.empty((0, 2), dtype=np.int64)
     return np.array(sorted(edges), dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Cell-set topology: connected components + boundary tracing
+# (the engine's dissolve/raster→vector kernels, SURVEY.md A1/A5/G7)
+# ---------------------------------------------------------------------------
+
+
+def cell_components(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """4-connectivity components over a sparse cell set → labels (N,).
+
+    Used where the reference dissolves touching buffers/blocks
+    (Dissolve SINGLE_PART, IB-Tool2.py:826) and where Partitioning.pyt
+    groups dense raster cells into settlement partitions.  Runs on the
+    *aggregated* cell table (small), never on raw points.
+    """
+    n = ix.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((iy, ix))
+    key_to_idx = {(int(ix[i]), int(iy[i])): i for i in range(n)}
+    uf = UnionFind(n)
+    for i in range(n):
+        for dx, dy in ((1, 0), (0, 1)):
+            j = key_to_idx.get((int(ix[i]) + dx, int(iy[i]) + dy))
+            if j is not None:
+                uf.union(i, j)
+    roots = np.array([uf.find(i) for i in range(n)], dtype=np.int64)
+    # stable relabel: component id = rank of its smallest (ix, iy) member
+    first = {}
+    for pos in order:
+        r = roots[pos]
+        if r not in first:
+            first[r] = len(first)
+    return np.array([first[r] for r in roots], dtype=np.int64)
+
+
+def trace_cell_boundary(ix: np.ndarray, iy: np.ndarray) -> list[np.ndarray]:
+    """Boundary rings of a cell set in grid coordinates.
+
+    Emits every closed loop of the region boundary with the occupied
+    side on the LEFT: outer rings come out CCW, holes CW — matching the
+    shapefile/even-odd convention the PIP kernel expects.  Vertices are
+    grid-corner integers; callers scale by cell size.  At ambiguous
+    (checkerboard) corners the walk turns left-most, which keeps each
+    loop simple.
+    """
+    occ = {(int(a), int(b)) for a, b in zip(ix, iy)}
+    # directed boundary edges, occupied cell on the left of direction
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
+    for (cx, cy) in occ:
+        if (cx, cy - 1) not in occ:  # south side, walk east
+            add((cx, cy), (cx + 1, cy))
+        if (cx + 1, cy) not in occ:  # east side, walk north
+            add((cx + 1, cy), (cx + 1, cy + 1))
+        if (cx, cy + 1) not in occ:  # north side, walk west
+            add((cx + 1, cy + 1), (cx, cy + 1))
+        if (cx - 1, cy) not in occ:  # west side, walk south
+            add((cx, cy + 1), (cx, cy))
+
+    rings = []
+    # deterministic iteration order
+    starts = sorted(edges.keys())
+    used: set[tuple[tuple[int, int], tuple[int, int]]] = set()
+    for s in starts:
+        for t in list(edges.get(s, ())):
+            if (s, t) in used:
+                continue
+            ring = [s]
+            cur, nxt = s, t
+            while True:
+                used.add((cur, nxt))
+                ring.append(nxt)
+                outs = [e for e in edges.get(nxt, ()) if (nxt, e) not in used]
+                if not outs:
+                    break
+                if len(outs) == 1:
+                    cur, nxt = nxt, outs[0]
+                else:
+                    # left-most turn relative to incoming direction
+                    dx, dy = nxt[0] - cur[0], nxt[1] - cur[1]
+                    def turn(e):
+                        ex, ey = e[0] - nxt[0], e[1] - nxt[1]
+                        return -(dx * ey - dy * ex)  # prefer left (positive cross)
+                    outs.sort(key=turn)
+                    cur, nxt = nxt, outs[0]
+                if nxt == ring[0]:
+                    used.add((cur, nxt))
+                    break
+            if len(ring) >= 4 and ring[0] == ring[-1] or nxt == ring[0]:
+                rings.append(np.array(ring[:-1] if ring[-1] == ring[0] else ring, dtype=np.float64))
+    return rings
+
+
+def min_vertex_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Min pairwise distance between two vertex sets (the reference's
+    Delaunay edge weight, scipy.cdist(...).min() at IB-Tool2.py:1382-94)."""
+    d = a[:, None, :] - b[None, :, :]
+    return float(np.sqrt((d * d).sum(axis=2).min()))
+
+
+def rect_ring(cx: float, cy: float, w: float, h: float, ang: float) -> np.ndarray:
+    """Axis rectangle of size (w, h) centered at (cx, cy), rotated by ang."""
+    c, s = np.cos(ang), np.sin(ang)
+    half = np.array([[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]])
+    rot = half @ np.array([[c, s], [-s, c]])
+    return rot + np.array([cx, cy])

@@ -36,9 +36,68 @@ from .geom import cover_cells, points_in_polygon, rings_bbox
 
 
 def with_geocode(df: DataFrame, scene=None) -> DataFrame:
-    """Attach deterministic (x, y) derived from image_id (JVM-side)."""
-    x, y = synth.geocode_cols(F.col("image_id"), scene)
-    return df.withColumn("x", x).withColumn("y", y)
+    """Attach deterministic (x, y) derived from image_id (JVM-side).
+
+    Same arithmetic as synth.geocode_cols / geocode_np (bit-exact), but
+    the cluster parameters come from two tiny broadcast joins instead
+    of 300+ literal array lookups — keeps the Catalyst expression tree
+    small so plan analysis/codegen is milliseconds, not seconds (that
+    fixed driver cost was the scaling-efficiency killer at N→4N).
+    """
+    from . import synth as S
+
+    scene = scene or S.default_scene()
+    spark = df.sparkSession
+    lookup = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__slot": np.arange(S.LOOKUP_LEN, dtype=np.int64),
+                "__k": scene.lookup.astype(np.int64),
+            }
+        ),
+        "__slot long, __k long",
+    )
+    clusters = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__k": np.arange(len(scene.cx), dtype=np.int64),
+                "__cx": scene.cx,
+                "__cy": scene.cy,
+                "__diam": scene.diam,
+            }
+        ),
+        "__k long, __cx double, __cy double, __diam double",
+    )
+    h1 = F.xxhash64(F.col("image_id"))
+    h2 = F.xxhash64(F.concat(F.col("image_id"), F.lit("#g")))
+    u_pick = F.shiftrightunsigned(h1, 12).bitwiseAND(F.lit((1 << 20) - 1)).cast("double") / F.lit(
+        float(1 << 20)
+    )
+    u_mode = h1.bitwiseAND(F.lit(0xFFF)).cast("double") / F.lit(float(1 << 12))
+    u_x = F.shiftrightunsigned(h2, 38).bitwiseAND(F.lit((1 << 26) - 1)).cast("double") / F.lit(
+        float(1 << 26)
+    )
+    u_y = F.shiftrightunsigned(h2, 12).bitwiseAND(F.lit((1 << 26) - 1)).cast("double") / F.lit(
+        float(1 << 26)
+    )
+    out = (
+        df.withColumn("__slot", F.floor(u_pick * F.lit(float(S.LOOKUP_LEN))).cast("long"))
+        .withColumn("__umode", u_mode)
+        .withColumn("__ux", u_x)
+        .withColumn("__uy", u_y)
+        .join(F.broadcast(lookup), "__slot")
+        .join(F.broadcast(clusters), "__k")
+    )
+    in_cluster = F.col("__umode") < F.lit(S.CLUSTER_PROB)
+    x = F.when(in_cluster, F.col("__cx") + (F.col("__ux") - F.lit(0.5)) * F.col("__diam")).otherwise(
+        F.lit(S.SCATTER_LO) + F.col("__ux") * F.lit(S.SCATTER_SPAN)
+    )
+    y = F.when(in_cluster, F.col("__cy") + (F.col("__uy") - F.lit(0.5)) * F.col("__diam")).otherwise(
+        F.lit(S.SCATTER_LO) + F.col("__uy") * F.lit(S.SCATTER_SPAN)
+    )
+    return out.withColumn("x", x).withColumn("y", y).drop(
+        "__slot", "__k", "__umode", "__ux", "__uy", "__cx", "__cy", "__diam"
+    )
 
 
 def with_cell(df: DataFrame, res: int = 10, grid: GridConfig = DEFAULT_GRID) -> DataFrame:
@@ -79,6 +138,9 @@ def polygon_cover_pdf(polygons: list[tuple[int, str, list[np.ndarray]]], res: in
     )
 
 
+_COVER_CACHE: dict = {}
+
+
 def pip_join(
     points: DataFrame,
     polygons: list[tuple[int, str, list[np.ndarray]]],
@@ -99,9 +161,18 @@ def pip_join(
     reference's INVERT selections, IB-Tool2.py:818-823).
     """
     spark = points.sparkSession
-    cover = spark.createDataFrame(polygon_cover_pdf(polygons, res, grid), "cell long, sid long, full boolean")
-    edges_by_sid = {sid: [np.asarray(r, dtype=np.float64) for r in rings] for sid, _n, rings in polygons}
-    bc = spark.sparkContext.broadcast(edges_by_sid)
+    ckey = (id(polygons), len(polygons), res, grid)
+    if ckey in _COVER_CACHE:
+        cover, bc = _COVER_CACHE[ckey]
+    else:
+        cover = spark.createDataFrame(
+            polygon_cover_pdf(polygons, res, grid), "cell long, sid long, full boolean"
+        )
+        rings_by_sid = {
+            sid: [np.asarray(r, dtype=np.float64) for r in rings] for sid, _n, rings in polygons
+        }
+        bc = spark.sparkContext.broadcast(rings_by_sid)
+        _COVER_CACHE[ckey] = (cover, bc)
 
     @F.pandas_udf(T.BooleanType())
     def refine(x: pd.Series, y: pd.Series, sid: pd.Series, full: pd.Series) -> pd.Series:

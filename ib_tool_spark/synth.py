@@ -300,3 +300,91 @@ SETTLEMENTS_SCHEMA = (
 
 def settlements_df(spark, scene: Scene | None = None):
     return spark.createDataFrame(settlements_pdf(scene), SETTLEMENTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic building footprints (A_HU analogue — FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+POS_FKT = ("31001_1000", "31001_1010", "31001_1020")
+NEG_FKT = ("31001_2721", "31001_2463")
+
+
+def buildings_pdf(scene: Scene | None = None, per_cluster: int = 40):
+    """Deterministic building-footprint table clustered at settlement
+    centers: rotated rectangles 8-30 m (the bulk), a few large detached
+    halls > 300 m² (AddSinglBdg trigger, IB-Tool2.py:1649), sub-35 m²
+    sheds (min-area filter, IB-Tool2.py:831-840), and negative-use
+    codes from the reference's filter lists (IB-Tool2_Filter.txt)."""
+    import pandas as pd
+
+    from .geom import rect_ring, ring_area, ring_centroid
+
+    scene = scene or default_scene()
+    rows = []
+    bid = 0
+    for k in range(N_CLUSTERS):
+        rng = np.random.RandomState(SCENE_SEED + 1000 + k)
+        n_b = per_cluster + (k % 5) * (per_cluster // 8)
+        cx, cy, rad = scene.cx[k], scene.cy[k], scene.rad[k]
+        for _ in range(n_b):
+            bx = cx + rng.normal() * rad * 0.30
+            by = cy + rng.normal() * rad * 0.30
+            w = rng.uniform(8, 30)
+            h = rng.uniform(8, 30)
+            ang = rng.uniform(0, np.pi)
+            ring = rect_ring(bx, by, w, h, ang)
+            fkt = POS_FKT[rng.randint(3)] if rng.uniform() > 0.1 else NEG_FKT[rng.randint(2)]
+            rows.append((bid, ring, fkt, k))
+            bid += 1
+        # large detached buildings outside the dense core
+        for j in range(2):
+            ang = rng.uniform(0, 2 * np.pi)
+            bx = cx + np.cos(ang) * rad * 1.15
+            by = cy + np.sin(ang) * rad * 1.15
+            ring = rect_ring(bx, by, 25.0, 15.0, rng.uniform(0, np.pi))
+            rows.append((bid, ring, POS_FKT[0], k))
+            bid += 1
+        # small sheds (below the reference's 35 m² floor)
+        for j in range(3):
+            bx = cx + rng.normal() * rad * 0.3
+            by = cy + rng.normal() * rad * 0.3
+            ring = rect_ring(bx, by, 5.0, 5.0, 0.0)
+            rows.append((bid, ring, POS_FKT[0], k))
+            bid += 1
+    out = []
+    for bid_, ring, fkt, k in rows:
+        cxc, cyc = ring_centroid(ring)
+        out.append(
+            {
+                "bid": bid_,
+                "rings": [ring.tolist()],
+                "cx": cxc,
+                "cy": cyc,
+                "area": abs(ring_area(ring)),
+                "fkt": fkt,
+                "true_cluster": k,
+            }
+        )
+    return pd.DataFrame(out)
+
+
+BUILDINGS_SCHEMA = (
+    "bid long, rings array<array<array<double>>>, cx double, cy double, "
+    "area double, fkt string, true_cluster long"
+)
+
+
+def buildings_df(spark, scene: Scene | None = None, per_cluster: int = 40):
+    return spark.createDataFrame(buildings_pdf(scene, per_cluster), BUILDINGS_SCHEMA)
+
+
+def buildings_sf_per_cluster(sf_dir: str) -> int:
+    import os as _os
+
+    name = _os.path.basename(_os.path.normpath(sf_dir))
+    sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.001
+    # capped: the incremental Delaunay kernel is O(n^2)-ish per
+    # partition; larger partitions should be pre-split by the density
+    # partitioner (grid-accelerated triangulation is future work)
+    return min(250, max(10, int(round(sf * 20000))))

@@ -1,0 +1,140 @@
+"""Delineation composites: partitioning, buffer mask, MST clustering,
+boundary dissolve — invariants + oracle properties."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ib_tool_spark import delineate, geom, ops, synth
+
+
+@pytest.fixture(scope="module")
+def buildings(spark):
+    return synth.buildings_df(spark, per_cluster=25).cache()
+
+
+@pytest.fixture(scope="module")
+def image_points(spark):
+    ids = [f"img_{i:012d}" for i in range(3000)]
+    df = spark.createDataFrame(pd.DataFrame({"image_id": ids}))
+    return ops.with_geocode(df).cache()
+
+
+def test_cell_components_and_tracing():
+    # two L-shaped blobs, one with a hole
+    cells = [(0, 0), (1, 0), (1, 1), (5, 5), (6, 5), (5, 6), (6, 6), (7, 5)]
+    ix = np.array([c[0] for c in cells])
+    iy = np.array([c[1] for c in cells])
+    labels = geom.cell_components(ix, iy)
+    assert len(set(labels[:3])) == 1 and len(set(labels[3:])) == 1
+    assert labels[0] != labels[3]
+
+    # ring with a hole: 3x3 block minus center
+    hole_cells = [(x, y) for x in range(3) for y in range(3) if (x, y) != (1, 1)]
+    rings = geom.trace_cell_boundary(
+        np.array([c[0] for c in hole_cells]), np.array([c[1] for c in hole_cells])
+    )
+    assert len(rings) == 2
+    areas = sorted(geom.ring_area(r) for r in rings)
+    assert areas[0] == -1.0  # CW hole of unit cell
+    assert areas[1] == 9.0  # CCW outer 3x3
+    # PIP agrees: center of hole outside, center of ring cell inside
+    inside = geom.points_in_polygon(np.array([1.5, 0.5]), np.array([1.5, 0.5]), rings)
+    assert inside.tolist() == [False, True]
+
+
+def test_density_partitions_cover_clusters(spark, image_points):
+    parts = delineate.density_partitions(image_points, 150.0, 300.0, 1e-5)
+    assert parts["part_name"].nunique() >= 10  # most clusters found
+    assigned = delineate.assign_partitions(image_points, parts, 150.0)
+    # ~80% of points are cluster-biased; of those, the dense-cell map
+    # covers the cores but not the scatter fringe → ~half of ALL points
+    frac = assigned.filter(F.col("part_name").isNotNull()).count() / assigned.count()
+    assert frac > 0.4, frac
+    # determinism
+    parts2 = delineate.density_partitions(image_points, 150.0, 300.0, 1e-5)
+    pd.testing.assert_frame_equal(
+        parts.sort_values(["gx", "gy"]).reset_index(drop=True),
+        parts2.sort_values(["gx", "gy"]).reset_index(drop=True),
+    )
+
+
+def test_buffer_mask_covers_points(spark, image_points):
+    sub = image_points.limit(300)
+    cells_df, polys = delineate.buffer_mask(sub, radius=400.0, cell_size=100.0)
+    pts = sub.select("x", "y").toPandas()
+    # every point lies inside some mask polygon (even-odd over all rings)
+    allrings = [np.asarray(r) for p in polys.itertuples() for r in p.rings]
+    inside = geom.points_in_polygon(pts["x"].to_numpy(), pts["y"].to_numpy(), allrings)
+    assert inside.all()
+    assert (polys["area"] > 0).all()
+
+
+def test_mst_cluster_groups_dense_separates_far(spark):
+    # two tight groups of rectangles far apart + one detached outlier
+    rows = []
+    bid = 0
+    for gx in (1000.0, 5000.0):
+        for i in range(6):
+            ring = geom.rect_ring(gx + (i % 3) * 30, 1000.0 + (i // 3) * 30, 14, 10, 0.0)
+            cxc, cyc = geom.ring_centroid(ring)
+            rows.append(
+                {
+                    "bid": bid,
+                    "rings": [ring.tolist()],
+                    "cx": cxc,
+                    "cy": cyc,
+                    "area": abs(geom.ring_area(ring)),
+                    "part": "P0",
+                }
+            )
+            bid += 1
+    ring = geom.rect_ring(3000.0, 3000.0, 20, 15, 0.3)
+    cxc, cyc = geom.ring_centroid(ring)
+    rows.append(
+        {"bid": bid, "rings": [ring.tolist()], "cx": cxc, "cy": cyc, "area": abs(geom.ring_area(ring)), "part": "P0"}
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows), "bid long, rings array<array<array<double>>>, cx double, cy double, area double, part string")
+    out = delineate.mst_cluster(df, coverage_thresh=10.0, max_edge=120.0).toPandas()
+    by_bid = out.set_index("bid")["cluster_id"]
+    assert len(set(by_bid[i] for i in range(6))) == 1  # group 1 merged
+    assert len(set(by_bid[i] for i in range(6, 12))) == 1  # group 2 merged
+    assert by_bid[0] != by_bid[6]
+    assert by_bid[12] not in (by_bid[0], by_bid[6])  # outlier alone
+
+    # determinism
+    out2 = delineate.mst_cluster(df, coverage_thresh=10.0, max_edge=120.0).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("bid").reset_index(drop=True),
+        out2.sort_values("bid").reset_index(drop=True),
+    )
+
+
+def test_mst_cluster_on_synth_buildings(spark, buildings):
+    parts = buildings.withColumn("part", F.concat(F.lit("P"), F.col("true_cluster")))
+    out = delineate.mst_cluster(parts).toPandas()
+    assert len(out) == buildings.count()
+    merged = out.merge(
+        buildings.select("bid", "true_cluster").toPandas(), on="bid"
+    )
+    # clusters never span two settlement partitions
+    span = merged.groupby("cluster_id")["true_cluster"].nunique()
+    assert (span == 1).all()
+    # dense cores aggregate: most clusters have >1 building
+    sizes = merged.groupby("cluster_id").size()
+    assert (sizes > 1).sum() >= 30
+
+
+def test_cluster_boundaries_contain_buildings(spark, buildings):
+    one = buildings.filter(F.col("true_cluster") == 0).withColumn("part", F.lit("P0"))
+    clustered = delineate.mst_cluster(one)
+    joined = one.join(clustered.select("bid", "cluster_id"), "bid")
+    bounds = delineate.cluster_boundaries(joined).toPandas()
+    assert (bounds["area"] > 0).all()
+    cents = joined.select("cluster_id", "cx", "cy").toPandas()
+    for row in bounds.itertuples():
+        rings = [np.asarray(r) for r in row.rings]
+        mine = cents[cents["cluster_id"] == row.cluster_id]
+        inside = geom.points_in_polygon(mine["cx"].to_numpy(), mine["cy"].to_numpy(), rings)
+        assert inside.all()
