@@ -563,6 +563,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_flagship_pip"] = img_flagship_pip
 
+    def img_features(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import imageops, pipeline, synth
+
+        n = min(synth.images_sf_count(sf_dir), 5000)
+        imgs = pipeline.load_images(spark, n)
+        return imageops.image_features(imgs).select(
+            "image_id", "mean_r", "mean_g", "mean_b", "brightness", "phash"
+        )
+
+    q["img_features"] = img_features
+
+    def img_phash_near_dups(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import imageops, pipeline, synth
+
+        n = min(synth.images_sf_count(sf_dir), 20000)
+        imgs = pipeline.load_images(spark, n)
+        return imageops.phash_near_dups(imgs.select("image_id", "phash"), max_hamming=6)
+
+    q["img_phash_near_dups"] = img_phash_near_dups
+
     def img_decode_validate(spark, sf_dir):
         _ship(spark)
         from ib_tool_spark import ops, pipeline, synth

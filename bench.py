@@ -56,9 +56,27 @@ def main() -> None:
     def run_flagship():
         return flagship_df.count()
 
+    # Full-contract variant: decode + invariant validation + PIP + tile.
+    # Capped: decode is ~ms/image, the cap keeps bench wall time sane.
+    n_full = min(n_images, int(os.environ.get("BENCH_FULL_CAP", "400000")))
+    if n_full < n_images:
+        # own materialized table: an id-filter subset of the big table
+        # would still read the entire bytes column (no row-group
+        # pruning on scattered ids)
+        full_images = spark.read.parquet(synth.ensure_images_table(spark, n_full))
+    else:
+        full_images = images
+    flagship_full_df = pipeline.flagship_validated(spark, images=full_images)
+
+    def run_flagship_full():
+        return flagship_full_df.count()
+
     qs = entrymod.queries()
     if os.environ.get("BENCH_FLAGSHIP_ONLY") == "1":
-        bench_queries = {"flagship_pip_tile": run_flagship}
+        bench_queries = {
+            "flagship_pip_tile": run_flagship,
+            "flagship_validated": run_flagship_full,
+        }
     else:
         bench_queries = {
             "flagship_pip_tile": run_flagship,
@@ -93,6 +111,9 @@ def main() -> None:
         "n_images": n_images,
         "cpus": cpus,
     }
+    if "flagship_validated" in timings:
+        out["value_full_contract"] = round(n_full / timings["flagship_validated"], 1)
+        out["n_images_full"] = n_full
     spark.stop()
     print(json.dumps(out))
 

@@ -1,0 +1,171 @@
+"""Boundary-evaluation cascade — the Error_Classification.py analogue.
+
+The reference evaluates a computed settlement boundary (UGB) against an
+expert delineation (IBS) by symmetric difference, splitting the symdiff
+into POS (over-delineation, inside UGB only) and NEG (under-
+delineation, inside IBS only) patches and peeling off 8 error classes
+per sign in a fixed priority order (Error_Classification.py:585-747).
+
+Spark-first re-expression: boundaries are cell sets at evaluation
+resolution, so SymDiff/Intersect/Erase are set operations on cell keys
+(one shuffle each, no geometry kernels), patches are connected
+components of the symdiff cells, and the classification cascade is a
+chain of ``when()`` conditions over per-patch aggregates — ordered
+exactly like the reference's peel sequence.
+
+The reference leaves two thresholds undefined (GOT and LBC are used
+but never assigned — Error_Classification.py:636, 411, 551); here they
+are explicit parameters: ``got`` = global overlap threshold (patch
+building-coverage %, default 25) and ``lbc`` = low-building-count
+threshold (default 3 buildings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import geom
+
+CLASSES = (
+    "IndCom",  # industrial/commercial land-use patch
+    "Resid",  # residential patch
+    "Holes",  # enclosed hole in the boundary
+    "SettBody",  # settlement-body disagreement (large, building-rich)
+    "LargeEmpty",  # large patch with no buildings
+    "BdgEdge",  # thin edge strip along buildings
+    "EmptyAreas",  # small building-free patch
+    "LowDensBdgGrp",  # few-building low-density patch
+)
+
+
+def polygon_cells(rings: list[np.ndarray], cell_size: float) -> set[tuple[int, int]]:
+    """Rasterize a polygon to evaluation cells (center-in rule)."""
+    minx, miny, maxx, maxy = geom.rings_bbox([geom.coerce_ring(r) for r in rings])
+    gx0, gx1 = int(np.floor(minx / cell_size)), int(np.floor(maxx / cell_size))
+    gy0, gy1 = int(np.floor(miny / cell_size)), int(np.floor(maxy / cell_size))
+    xs = (np.arange(gx0, gx1 + 1) + 0.5) * cell_size
+    ys = (np.arange(gy0, gy1 + 1) + 0.5) * cell_size
+    cxx, cyy = np.meshgrid(xs, ys)
+    inside = geom.points_in_polygon(cxx.ravel(), cyy.ravel(), rings).reshape(len(ys), len(xs))
+    rr, cc = np.nonzero(inside)
+    return {(int(gx0 + c), int(gy0 + r)) for r, c in zip(rr, cc)}
+
+
+def boundary_cells_df(spark, polygons: list[list[np.ndarray]], cell_size: float) -> DataFrame:
+    rows = set()
+    for rings in polygons:
+        rows |= polygon_cells(rings, cell_size)
+    pdf = pd.DataFrame(sorted(rows), columns=["gx", "gy"])
+    return spark.createDataFrame(pdf, "gx long, gy long")
+
+
+def classify_symdiff(
+    computed: DataFrame,
+    expert: DataFrame,
+    buildings: DataFrame,
+    cell_size: float,
+    got: float = 25.0,
+    lbc: int = 3,
+    hole_max_cells: int = 64,
+    large_cells: int = 400,
+    indcom_fkt_prefixes: tuple[str, ...] = ("31001_2",),
+) -> DataFrame:
+    """Symmetric-difference error classification.
+
+    ``computed``/``expert``: cell DataFrames (gx, gy).  ``buildings``:
+    (cx, cy, fkt) footprint centroids.  Returns one row per symdiff
+    patch: (patch_id, sign, n_cells, area, n_buildings, coverage_pct,
+    error_class) with the class priority of the reference's cascade.
+    """
+    spark = computed.sparkSession
+    c = computed.select("gx", "gy").withColumn("in_c", F.lit(1))
+    e = expert.select("gx", "gy").withColumn("in_e", F.lit(1))
+    merged = c.join(e, ["gx", "gy"], "full_outer").fillna(0, ["in_c", "in_e"])
+    sym = merged.filter(F.col("in_c") != F.col("in_e")).select(
+        "gx", "gy", F.when(F.col("in_c") == 1, F.lit("POS")).otherwise(F.lit("NEG")).alias("sign")
+    )
+    sym_pdf = sym.toPandas()
+    if sym_pdf.empty:
+        return spark.createDataFrame(
+            [],
+            "patch_id long, sign string, n_cells long, area double, n_buildings long, "
+            "coverage_pct double, error_class string",
+        )
+    # patches = connected components per sign (driver-side: symdiff of
+    # aggregated cells is small relative to the data)
+    patches = []
+    for sign, grp in sym_pdf.groupby("sign"):
+        labels = geom.cell_components(grp["gx"].to_numpy(), grp["gy"].to_numpy())
+        g = grp.copy()
+        g["patch"] = [f"{sign}_{v}" for v in labels]
+        patches.append(g)
+    patch_pdf = pd.concat(patches, ignore_index=True)
+    patch_ids = {p: i for i, p in enumerate(sorted(patch_pdf["patch"].unique()))}
+    patch_pdf["patch_id"] = patch_pdf["patch"].map(patch_ids)
+    cells_df = spark.createDataFrame(
+        patch_pdf[["gx", "gy", "sign", "patch_id"]], "gx long, gy long, sign string, patch_id long"
+    )
+
+    b = buildings.withColumn("gx", F.floor(F.col("cx") / F.lit(cell_size)).cast("long")).withColumn(
+        "gy", F.floor(F.col("cy") / F.lit(cell_size)).cast("long")
+    )
+    bj = cells_df.join(b, ["gx", "gy"], "left")
+    per_patch = bj.groupBy("patch_id", "sign").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("gx", "gy").alias("n_cells"),
+        F.count("cx").alias("n_buildings"),
+        F.sum(
+            F.when(
+                F.col("fkt").isNotNull()
+                & F.col("fkt").startswith(indcom_fkt_prefixes[0]),
+                1,
+            ).otherwise(0)
+        ).alias("n_indcom"),
+    )
+    area = F.col("n_cells").cast("double") * F.lit(cell_size * cell_size)
+    bdg_cells = F.col("n_buildings")  # ≈ building-occupied cells proxy
+    coverage = F.least(
+        F.lit(100.0), bdg_cells.cast("double") / F.col("n_cells").cast("double") * F.lit(100.0)
+    )
+    # the reference's peel order (Error_Classification.py:636-665):
+    # IndCom → Resid → Holes → SettBody → LargeEmpty → BdgEdge →
+    # EmptyAreas → LowDensBdgGrp
+    cls = (
+        F.when((F.col("n_indcom") > 0) & (F.col("n_indcom") * 2 >= F.col("n_buildings")), "IndCom")
+        .when((F.col("n_buildings") > lbc) & (coverage >= F.lit(got)), "Resid")
+        .when((F.col("sign") == "NEG") & (F.col("n_cells") <= hole_max_cells) & (F.col("n_buildings") == 0), "Holes")
+        .when((F.col("n_cells") > large_cells) & (F.col("n_buildings") > lbc), "SettBody")
+        .when((F.col("n_cells") > large_cells), "LargeEmpty")
+        .when((F.col("n_buildings") > 0) & (coverage < F.lit(got)) & (F.col("n_cells") <= hole_max_cells), "BdgEdge")
+        .when(F.col("n_buildings") == 0, "EmptyAreas")
+        .otherwise("LowDensBdgGrp")
+    )
+    return per_patch.select(
+        "patch_id",
+        "sign",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        area.alias("area"),
+        F.col("n_buildings").cast("long").alias("n_buildings"),
+        coverage.alias("coverage_pct"),
+        cls.alias("error_class"),
+    )
+
+
+def error_report(classified: DataFrame) -> DataFrame:
+    """Frequency/area/share rollup per (sign, class) — the reference's
+    printed report (Error_Classification.py:721-747) as a DataFrame."""
+    from pyspark.sql import Window as W
+
+    total = classified.agg(F.sum("area")).collect()[0][0] or 1.0
+    return (
+        classified.groupBy("sign", "error_class")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("area").alias("area_total"),
+        )
+        .withColumn("area_share_pct", F.col("area_total") / F.lit(float(total)) * 100.0)
+        .orderBy("sign", "error_class")
+    )

@@ -511,3 +511,66 @@ def rect_ring(cx: float, cy: float, w: float, h: float, ang: float) -> np.ndarra
     half = np.array([[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]])
     rot = half @ np.array([[c, s], [-s, c]])
     return rot + np.array([cx, cy])
+
+
+def cover_cells_with_edges(
+    rings: list[np.ndarray],
+    res: int,
+    grid: GridConfig = DEFAULT_GRID,
+):
+    """Covering cells of a polygon with everything the pure-SQL PIP
+    refine needs per cell:
+
+    returns (cells, full, cpx, cpy, cpar, edge_lists) where for each
+    covering cell: ``full`` ⇒ entirely inside; otherwise ``(cpx, cpy)``
+    is the cell center, ``cpar`` its even-odd parity, and
+    ``edge_lists[i]`` the polygon edges whose bbox overlaps the cell.
+    A point p in the cell is inside iff cpar XOR (segment p→center
+    crosses an odd number of those edges) — only edges passing through
+    the cell can cross an in-cell segment, so the local list suffices.
+    This turns the PIP refine into whole-stage-codegen column math
+    (no Python in the join at all).
+    """
+    rings = [coerce_ring(r) for r in rings]
+    cs = grid.cell_size(res)
+    n = 1 << res
+    minx, miny, maxx, maxy = rings_bbox(rings)
+    c0 = max(0, int(np.floor((minx - grid.x0) / cs)))
+    r0 = max(0, int(np.floor((miny - grid.y0) / cs)))
+    c1 = min(n - 1, int(np.floor((maxx - grid.x0) / cs)))
+    r1 = min(n - 1, int(np.floor((maxy - grid.y0) / cs)))
+    ncol, nrow = c1 - c0 + 1, r1 - r0 + 1
+    if ncol <= 0 or nrow <= 0:
+        return (np.empty(0, np.int64), np.empty(0, bool), np.empty(0), np.empty(0), np.empty(0, bool), [])
+
+    edges = _rings_edges(rings)
+    boundary = np.zeros((nrow, ncol), dtype=bool)
+    cell_edges: dict[tuple[int, int], list[int]] = {}
+    ec0 = np.clip(np.floor((np.minimum(edges[:, 0], edges[:, 2]) - grid.x0) / cs), c0, c1).astype(int) - c0
+    ec1 = np.clip(np.floor((np.maximum(edges[:, 0], edges[:, 2]) - grid.x0) / cs), c0, c1).astype(int) - c0
+    er0 = np.clip(np.floor((np.minimum(edges[:, 1], edges[:, 3]) - grid.y0) / cs), r0, r1).astype(int) - r0
+    er1 = np.clip(np.floor((np.maximum(edges[:, 1], edges[:, 3]) - grid.y0) / cs), r0, r1).astype(int) - r0
+    for i in range(edges.shape[0]):
+        boundary[er0[i] : er1[i] + 1, ec0[i] : ec1[i] + 1] = True
+        for rr_ in range(er0[i], er1[i] + 1):
+            for cc_ in range(ec0[i], ec1[i] + 1):
+                cell_edges.setdefault((rr_, cc_), []).append(i)
+
+    cols = grid.x0 + (np.arange(c0, c1 + 1) + 0.5) * cs
+    rows = grid.y0 + (np.arange(r0, r1 + 1) + 0.5) * cs
+    cxx, cyy = np.meshgrid(cols, rows)
+    center_in = points_in_polygon(cxx.ravel(), cyy.ravel(), rings).reshape(nrow, ncol)
+
+    keep = boundary | center_in
+    full = center_in & ~boundary
+    rr, cc = np.nonzero(keep)
+    cells = encode_colrow(cc + c0, rr + r0, res)
+    fulls = full[rr, cc]
+    cpx = cxx[rr, cc]
+    cpy = cyy[rr, cc]
+    cpar = center_in[rr, cc]
+    edge_lists = [
+        edges[cell_edges[(int(a), int(b))]] if (int(a), int(b)) in cell_edges else edges[:0]
+        for a, b in zip(rr, cc)
+    ]
+    return cells, fulls, cpx, cpy, cpar, edge_lists

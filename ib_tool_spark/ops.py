@@ -141,59 +141,136 @@ def polygon_cover_pdf(polygons: list[tuple[int, str, list[np.ndarray]]], res: in
 _COVER_CACHE: dict = {}
 
 
+def _cover_with_edges_pdf(polygons, res, grid) -> pd.DataFrame:
+    """Broadcast build side for the SQL refine: per covering cell its
+    class, center, center parity, and the edges overlapping the cell."""
+    from .geom import cover_cells_with_edges
+
+    rows = {"cell": [], "sid": [], "full": [], "cpx": [], "cpy": [], "cpar": [], "edges": []}
+    for sid, _name, rings in polygons:
+        cells, full, cpx, cpy, cpar, edge_lists = cover_cells_with_edges(rings, res, grid)
+        rows["cell"].append(cells)
+        rows["sid"].append(np.full(cells.shape[0], sid, dtype=np.int64))
+        rows["full"].append(full)
+        rows["cpx"].append(cpx)
+        rows["cpy"].append(cpy)
+        rows["cpar"].append(cpar)
+        rows["edges"].extend([e.tolist() for e in edge_lists])
+    return pd.DataFrame(
+        {
+            "cell": np.concatenate(rows["cell"]),
+            "sid": np.concatenate(rows["sid"]),
+            "full": np.concatenate(rows["full"]),
+            "cpx": np.concatenate(rows["cpx"]),
+            "cpy": np.concatenate(rows["cpy"]),
+            "cpar": np.concatenate(rows["cpar"]),
+            "edges": rows["edges"],
+        }
+    )
+
+
+_COVER_EDGES_SCHEMA = (
+    "cell long, sid long, full boolean, cpx double, cpy double, cpar boolean, "
+    "edges array<array<double>>"
+)
+
+
+def _sql_inside_expr():
+    """Pure-Column even-odd refine: inside ⇔ cpar XOR (segment from the
+    point to the cell center properly crosses an odd number of the
+    cell's local edges).  Equivalent to ray crossing for points in
+    general position; zero Python, stays inside whole-stage codegen.
+    """
+    x, y, cpx, cpy = F.col("x"), F.col("y"), F.col("cpx"), F.col("cpy")
+
+    def crosses(e):
+        ex1, ey1, ex2, ey2 = e[0], e[1], e[2], e[3]
+        o1 = (cpx - x) * (ey1 - y) - (cpy - y) * (ex1 - x)
+        o2 = (cpx - x) * (ey2 - y) - (cpy - y) * (ex2 - x)
+        o3 = (ex2 - ex1) * (y - ey1) - (ey2 - ey1) * (x - ex1)
+        o4 = (ex2 - ex1) * (cpy - ey1) - (ey2 - ey1) * (cpx - ex1)
+        return ((o1 > 0) != (o2 > 0)) & ((o3 > 0) != (o4 > 0))
+
+    n_cross = F.size(F.filter(F.col("edges"), crosses))
+    odd = n_cross % 2 == 1
+    return F.when(F.col("full"), F.lit(True)).otherwise(F.col("cpar") != odd)
+
+
 def pip_join(
     points: DataFrame,
     polygons: list[tuple[int, str, list[np.ndarray]]],
     res: int = 10,
     grid: GridConfig = DEFAULT_GRID,
     how: str = "inner",
+    refine: str = "sql",
 ) -> DataFrame:
     """Point-in-polygon join: points(x, y, cell) × polygons → + sid.
 
     Plan shape: broadcast-hash-join on the cell key (no shuffle of the
-    point side), then ONE Arrow-batched refine pass in which rows from
-    *fully interior* cells skip the exact test entirely — the refine
-    only does geometry for boundary-cell rows.  Replaces arcpy
-    SpatialJoin/SelectLayerByLocation (IB-Tool2.py:882, 670 …).
+    point side), then an exact even-odd refine for boundary-cell rows.
+    Replaces arcpy SpatialJoin/SelectLayerByLocation (IB-Tool2.py:882,
+    670 …).
 
-    ``how='inner'`` keeps matching rows (semi-join per (point, polygon)
-    pair); ``how='anti'`` returns points matching NO polygon (the
-    reference's INVERT selections, IB-Tool2.py:818-823).
+    ``refine='sql'`` (default): segment-parity test in pure Column math
+    — the whole join stays in whole-stage codegen, no Python workers.
+    ``refine='pandas'``: vectorized numpy ray-crossing in an Arrow
+    batch UDF (the fallback path; also the cross-check in tests).
+
+    ``how='inner'`` keeps matching rows; ``how='anti'`` returns points
+    matching NO polygon (INVERT selections, IB-Tool2.py:818-823).
     """
     spark = points.sparkSession
-    ckey = (id(polygons), len(polygons), res, grid)
+    ckey = (id(polygons), len(polygons), res, grid, refine)
     if ckey in _COVER_CACHE:
         cover, bc = _COVER_CACHE[ckey]
     else:
-        cover = spark.createDataFrame(
-            polygon_cover_pdf(polygons, res, grid), "cell long, sid long, full boolean"
-        )
-        rings_by_sid = {
-            sid: [np.asarray(r, dtype=np.float64) for r in rings] for sid, _n, rings in polygons
-        }
-        bc = spark.sparkContext.broadcast(rings_by_sid)
+        if refine == "sql":
+            cover = spark.createDataFrame(
+                _cover_with_edges_pdf(polygons, res, grid), _COVER_EDGES_SCHEMA
+            )
+            bc = None
+        else:
+            cover = spark.createDataFrame(
+                polygon_cover_pdf(polygons, res, grid), "cell long, sid long, full boolean"
+            )
+            rings_by_sid = {
+                sid: [np.asarray(r, dtype=np.float64) for r in rings]
+                for sid, _n, rings in polygons
+            }
+            bc = spark.sparkContext.broadcast(rings_by_sid)
         _COVER_CACHE[ckey] = (cover, bc)
 
-    @F.pandas_udf(T.BooleanType())
-    def refine(x: pd.Series, y: pd.Series, sid: pd.Series, full: pd.Series) -> pd.Series:
-        out = full.to_numpy(dtype=bool, na_value=False).copy()
-        todo = ~out
-        if todo.any():
-            xs = x.to_numpy(dtype=np.float64)
-            ys = y.to_numpy(dtype=np.float64)
-            sids = sid.to_numpy(dtype=np.int64)
-            polys = bc.value
-            for s in np.unique(sids[todo]):
-                m = todo & (sids == s)
-                out[m] = points_in_polygon(xs[m], ys[m], polys[int(s)])
-        return pd.Series(out)
-
     joined = points.join(F.broadcast(cover), "cell", "inner")
-    matched = (
-        joined.withColumn("__inside", refine(F.col("x"), F.col("y"), F.col("sid"), F.col("full")))
-        .filter(F.col("__inside"))
-        .drop("__inside", "full")
-    )
+
+    if refine == "sql":
+        matched = (
+            joined.withColumn("__inside", _sql_inside_expr())
+            .filter(F.col("__inside"))
+            .drop("__inside", "full", "cpx", "cpy", "cpar", "edges")
+        )
+    else:
+
+        @F.pandas_udf(T.BooleanType())
+        def refine_udf(x: pd.Series, y: pd.Series, sid: pd.Series, full: pd.Series) -> pd.Series:
+            out = full.to_numpy(dtype=bool, na_value=False).copy()
+            todo = ~out
+            if todo.any():
+                xs = x.to_numpy(dtype=np.float64)
+                ys = y.to_numpy(dtype=np.float64)
+                sids = sid.to_numpy(dtype=np.int64)
+                polys = bc.value
+                for s in np.unique(sids[todo]):
+                    m = todo & (sids == s)
+                    out[m] = points_in_polygon(xs[m], ys[m], polys[int(s)])
+            return pd.Series(out)
+
+        matched = (
+            joined.withColumn(
+                "__inside", refine_udf(F.col("x"), F.col("y"), F.col("sid"), F.col("full"))
+            )
+            .filter(F.col("__inside"))
+            .drop("__inside", "full")
+        )
     if how == "inner":
         return matched
     if how == "anti":
@@ -336,24 +413,32 @@ def decode_validate(df: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
 
     def check(batches):
         for pdf in batches:
-            out = []
-            for image_id, data, fmt, caption, ph in zip(
-                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"], pdf["phash"]
+            n = len(pdf)
+            psnr_arr = np.empty(n, dtype=np.float64)
+            pix_ok = np.empty(n, dtype=bool)
+            cap_ok = np.empty(n, dtype=bool)
+            ph_ok = np.empty(n, dtype=bool)
+            fmts = pdf["fmt"].to_numpy()
+            phashes = pdf["phash"].to_numpy()
+            for i, (image_id, data, fmt, caption) in enumerate(
+                zip(pdf["image_id"], pdf["bytes"], fmts, pdf["caption"])
             ):
                 img = codecs.decode(bytes(data), fmt)
                 exp = synth.expected_pixels(image_id)
                 p = codecs.psnr(img, exp)
-                ok = (p == float("inf")) if fmt in ("png", "ppm") else (p >= psnr_floor)
-                out.append(
-                    {
-                        "image_id": image_id,
-                        "fmt": fmt,
-                        "psnr": min(p, 1e9),
-                        "pixels_ok": bool(ok),
-                        "caption_ok": caption == synth.expected_caption(image_id),
-                        "phash_ok": int(ph) == codecs.phash(img),
-                    }
-                )
-            yield pd.DataFrame(out)
+                pix_ok[i] = (p == float("inf")) if fmt in ("png", "ppm") else (p >= psnr_floor)
+                psnr_arr[i] = min(p, 1e9)
+                cap_ok[i] = caption == synth.expected_caption(image_id)
+                ph_ok[i] = int(phashes[i]) == codecs.phash(img)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": pdf["fmt"],
+                    "psnr": psnr_arr,
+                    "pixels_ok": pix_ok,
+                    "caption_ok": cap_ok,
+                    "phash_ok": ph_ok,
+                }
+            )
 
     return df.mapInPandas(check, VALIDATE_SCHEMA)

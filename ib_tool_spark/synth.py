@@ -264,7 +264,18 @@ def ensure_images_table(spark, n: int, cache_root: str = "/root/repo/.synth") ->
     x, y = geocode_cols(F.col("image_id"))
     cell = encode_col(x, y, 10)
     df = df.withColumn("pcell", parent_col(cell, 10, 3))
-    df.write.mode("overwrite").partitionBy("pcell").parquet(path)
+    # co-locate each coarse cell before writing (one writer per pcell
+    # bucket instead of gen_partitions × pcells tiny files), but cap
+    # rows per file so Zipf-dense cells still split into multiple scan
+    # tasks — otherwise the densest cell becomes a straggler task for
+    # every downstream decode stage
+    (
+        df.repartition(64, "pcell")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 20000)
+        .partitionBy("pcell")
+        .parquet(path)
+    )
     return path
 
 

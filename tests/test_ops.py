@@ -159,3 +159,23 @@ def test_flagship_end_to_end(spark, scene):
         out.sort_values(["image_id", "sid"]).reset_index(drop=True),
         out2.sort_values(["image_id", "sid"]).reset_index(drop=True),
     )
+
+
+def test_pip_join_sql_equals_pandas_refine(spark, ids, points_df, scene):
+    """The codegen segment-parity refine and the numpy ray-crossing
+    refine produce identical join rows."""
+    a = (
+        ops.pip_join(points_df, scene.polygons, 10, refine="sql")
+        .select("image_id", "sid")
+        .toPandas()
+        .sort_values(["image_id", "sid"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ops.pip_join(points_df, scene.polygons, 10, refine="pandas")
+        .select("image_id", "sid")
+        .toPandas()
+        .sort_values(["image_id", "sid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
