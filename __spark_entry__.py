@@ -261,6 +261,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["f4_shape_index"] = f4_shape_index
 
+    def u2_symdiff_cells(spark, sf_dir):
+        # U2 symmetric difference as a cell-set XOR (the engine's
+        # overlay primitive, evaluate.py): two derived cell sets from
+        # lineitem vs orders → full-outer join → keep exclusive cells
+        li = _pts_df(spark, sf_dir).select(
+            F.floor(F.col("px") / 2000).cast("long").alias("gx"),
+            F.floor(F.col("py") / 2000).cast("long").alias("gy"),
+        ).distinct()
+        o = _t(spark, sf_dir, "orders").select(
+            F.floor(((F.col("o_orderkey") * 2971) % 100000).cast("double") / 2000).cast("long").alias("gx"),
+            F.floor(((F.col("o_custkey") * 6007) % 100000).cast("double") / 2000).cast("long").alias("gy"),
+        ).distinct()
+        a = li.withColumn("in_a", F.lit(1))
+        b = o.withColumn("in_b", F.lit(1))
+        m = a.join(b, ["gx", "gy"], "full_outer").fillna(0, ["in_a", "in_b"])
+        return m.filter(F.col("in_a") != F.col("in_b")).select(
+            "gx", "gy", F.when(F.col("in_a") == 1, "A_ONLY").otherwise("B_ONLY").alias("side")
+        )
+
+    q["u2_symdiff_cells"] = u2_symdiff_cells
+
+    def w_running_sum(spark, sf_dir):
+        # §2.8 running aggregate over an ordered window (integer-scaled
+        # so accumulation order can't produce float drift)
+        from pyspark.sql import Window as W
+
+        e = _t(spark, sf_dir, "events")
+        cents = F.round(F.col("value") * 1000000).cast("long")
+        w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id")).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        return e.select(
+            "user_id", "event_id", F.sum(cents).over(w).alias("running_micro")
+        )
+
+    q["w_running_sum"] = w_running_sum
+
+    def f2_like_chain(spark, sf_dir):
+        # F2: the reference's filter-txt LIKE chain semantics
+        # (IB-Tool2.py:752-772) over part types
+        p = _t(spark, sf_dir, "part")
+        pred = (
+            F.col("p_type").like("%BRASS%")
+            | F.col("p_type").like("%COPPER%")
+            | F.col("p_type").like("SMALL%")
+        )
+        return p.filter(pred).select("p_partkey", "p_type")
+
+    q["f2_like_chain"] = f2_like_chain
+
+    def s8_counts(spark, sf_dir):
+        # S8 GetCount parity across sources
+        rows = []
+        for t in ("region", "nation", "customer", "orders", "lineitem", "events", "documents", "embeddings"):
+            rows.append(
+                _t(spark, sf_dir, t)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(t).alias("tbl"), "n")
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    q["s8_counts"] = s8_counts
+
+    def a7_global_threshold(spark, sf_dir):
+        # A7 CalcFootprintDensity analogue: global mean as a driver
+        # scalar, then a per-group above/below flag (exact integer sums
+        # so the division is reproducible)
+        o = _t(spark, sf_dir, "orders")
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        agg = o.groupBy("o_orderpriority").agg(
+            F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("n")
+        )
+        g = o.agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
+        gmean = g["s"] / g["c"]
+        return agg.select(
+            "o_orderpriority",
+            "sum_cents",
+            "n",
+            (F.col("sum_cents").cast("double") / F.col("n").cast("double") > F.lit(float(gmean))).alias("above_global"),
+        )
+
+    q["a7_global_threshold"] = a7_global_threshold
+
     # ---- spatial kernels vs brute-force SQL oracles ----
 
     def g_morton_cells(spark, sf_dir):
@@ -309,6 +395,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ops.density_grid(pts, 500.0, 1200.0).select("gx", "gy", "nsum", "density")
 
     q["g_density_grid"] = g_density_grid
+
+    def j8_within_distance(spark, sf_dir):
+        import pandas as pd
+
+        _ship(spark)
+        from ib_tool_spark import ops
+
+        centers = pd.DataFrame(_KNN_CENTERS, columns=["center_id", "cx", "cy"])
+        pts = _pts_df(spark, sf_dir).withColumnRenamed("px", "x").withColumnRenamed("py", "y")
+        return ops.within_distance_join(pts, centers, _KNN_CUTOFF).select(
+            "pid", "x", "y", "center_id", "dist"
+        )
+
+    q["j8_within_distance"] = j8_within_distance
 
     def g_knn_assign(spark, sf_dir):
         import pandas as pd
@@ -691,6 +791,68 @@ def oracle_sql() -> dict[str, str]:
       WHERE p_retailprice / (2.0 * sqrt(3.141592653589793 * CAST(p_size AS DOUBLE))) < 150.0
     """
 
+    o["u2_symdiff_cells"] = f"""
+      WITH a AS (
+        SELECT DISTINCT CAST(FLOOR(px / 2000) AS BIGINT) AS gx,
+               CAST(FLOOR(py / 2000) AS BIGINT) AS gy
+        FROM ({_PTS_SQL})
+      ),
+      b AS (
+        SELECT DISTINCT CAST(FLOOR(CAST((o_orderkey * 2971) % 100000 AS DOUBLE) / 2000) AS BIGINT) AS gx,
+               CAST(FLOOR(CAST((o_custkey * 6007) % 100000 AS DOUBLE) / 2000) AS BIGINT) AS gy
+        FROM orders
+      ),
+      m AS (
+        SELECT COALESCE(a.gx, b.gx) AS gx, COALESCE(a.gy, b.gy) AS gy,
+               (a.gx IS NOT NULL) AS in_a, (b.gx IS NOT NULL) AS in_b
+        FROM a FULL OUTER JOIN b ON a.gx = b.gx AND a.gy = b.gy
+      )
+      SELECT gx, gy, CASE WHEN in_a THEN 'A_ONLY' ELSE 'B_ONLY' END AS side
+      FROM m WHERE in_a <> in_b
+    """
+
+    o["w_running_sum"] = """
+      SELECT user_id, event_id,
+             SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS running_micro
+      FROM events
+    """
+
+    o["f2_like_chain"] = """
+      SELECT p_partkey, p_type FROM part
+      WHERE p_type LIKE '%BRASS%' OR p_type LIKE '%COPPER%' OR p_type LIKE 'SMALL%'
+    """
+
+    o["s8_counts"] = """
+      SELECT 'region' AS tbl, COUNT(*) AS n FROM region
+      UNION ALL SELECT 'nation', COUNT(*) FROM nation
+      UNION ALL SELECT 'customer', COUNT(*) FROM customer
+      UNION ALL SELECT 'orders', COUNT(*) FROM orders
+      UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+      UNION ALL SELECT 'events', COUNT(*) FROM events
+      UNION ALL SELECT 'documents', COUNT(*) FROM documents
+      UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """
+
+    o["a7_global_threshold"] = """
+      WITH agg AS (
+        SELECT o_orderpriority,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+      ),
+      g AS (
+        SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS gmean
+        FROM orders
+      )
+      SELECT o_orderpriority, sum_cents, n,
+             (CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)) > g.gmean AS above_global
+      FROM agg, g
+    """
+
     # ---- spatial kernel oracles ----
 
     morton8 = _morton_sql_cols(
@@ -771,6 +933,14 @@ def oracle_sql() -> dict[str, str]:
     centers_sql = ", ".join(
         f"({cid}, CAST({cx} AS DOUBLE), CAST({cy} AS DOUBLE))" for cid, cx, cy in _KNN_CENTERS
     )
+    o["j8_within_distance"] = f"""
+      WITH pts AS ({_PTS_SQL}),
+      c(center_id, cx, cy) AS (VALUES {centers_sql})
+      SELECT pid, px AS x, py AS y, center_id,
+             sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy)) AS dist
+      FROM pts CROSS JOIN c
+      WHERE sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy)) <= {_KNN_CUTOFF}
+    """
     o["g_knn_assign"] = f"""
       WITH pts AS ({_PTS_SQL}),
       c(center_id, cx, cy) AS (VALUES {centers_sql}),

@@ -263,3 +263,41 @@ def cluster_boundaries(
         )
 
     return buildings_with_clusters.groupBy("cluster_id").applyInPandas(run, BOUNDARY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Footprint density per container (A6 — FootprintDensity,
+# IB-Tool2.py:852-907)
+# ---------------------------------------------------------------------------
+
+
+def footprint_density(
+    buildings: DataFrame,
+    parts: pd.DataFrame,
+    cell_size: float = 150.0,
+) -> DataFrame:
+    """Σ(building footprint area) per partition / partition area × 100.
+
+    Containers are the density-partition cell sets (their area =
+    n_cells × cell²); buildings land in a container via their centroid
+    cell (broadcast join).  The reference's per-block overlap ratio
+    drives its dense-block selection; the same ratio here feeds
+    PatchRemove-style rescue decisions.
+    """
+    spark = buildings.sparkSession
+    part_df = spark.createDataFrame(parts, "gx long, gy long, part_name string")
+    part_area = (
+        part_df.groupBy("part_name")
+        .agg((F.count(F.lit(1)).cast("double") * F.lit(cell_size * cell_size)).alias("part_area"))
+    )
+    b = buildings.withColumn(
+        "gx", F.floor(F.col("cx") / F.lit(cell_size)).cast("long")
+    ).withColumn("gy", F.floor(F.col("cy") / F.lit(cell_size)).cast("long"))
+    per_part = (
+        b.join(F.broadcast(part_df), ["gx", "gy"], "inner")
+        .groupBy("part_name")
+        .agg(F.sum("area").alias("bdg_area"), F.count(F.lit(1)).alias("n_buildings"))
+    )
+    return per_part.join(part_area, "part_name").withColumn(
+        "overlap_pct", F.col("bdg_area") / F.col("part_area") * F.lit(100.0)
+    )
