@@ -679,9 +679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ship(spark)
         from ib_tool_spark import imageops, pipeline, synth
 
-        n = min(synth.images_sf_count(sf_dir), 20000)
+        # the synthetic pixel family is perceptually self-similar, so
+        # loose thresholds explode the pair count; keep the gate bounded
+        n = min(synth.images_sf_count(sf_dir), 4000)
         imgs = pipeline.load_images(spark, n)
-        return imageops.phash_near_dups(imgs.select("image_id", "phash"), max_hamming=6)
+        return imageops.phash_near_dups(imgs.select("image_id", "phash"), max_hamming=1)
 
     q["img_phash_near_dups"] = img_phash_near_dups
 
