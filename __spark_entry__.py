@@ -624,6 +624,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_mst_clusters"] = geo_mst_clusters
 
+    def x2_road_node_degrees(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import delineate, synth
+
+        deg = delineate.road_node_degrees(synth.roads_df(spark))
+        return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    q["x2_road_node_degrees"] = x2_road_node_degrees
+
+    def geo_mst_clusters_roads(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import delineate, synth
+
+        b = synth.buildings_df(spark, per_cluster=min(60, synth.buildings_sf_per_cluster(sf_dir)))
+        b = b.withColumn("part", F.concat(F.lit("P"), F.col("true_cluster")))
+        roads = synth.roads_pdf()[["rid", "line"]]
+        out = delineate.mst_cluster(b, roads=roads)
+        return out.groupBy("part").agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_buildings"),
+        )
+
+    q["geo_mst_clusters_roads"] = geo_mst_clusters_roads
+
     def geo_cluster_boundaries(spark, sf_dir):
         _ship(spark)
         from ib_tool_spark import delineate, synth

@@ -136,7 +136,12 @@ def buffer_mask(
 CLUSTER_SCHEMA = "bid long, cluster_id long, part string"
 
 
-def _mst_cluster_kernel(pdf: pd.DataFrame, coverage_thresh: float, max_edge: float) -> pd.DataFrame:
+def _mst_cluster_kernel(
+    pdf: pd.DataFrame,
+    coverage_thresh: float,
+    max_edge: float,
+    road_segs: "np.ndarray | None" = None,
+) -> pd.DataFrame:
     """Greedy MST clustering of one partition's buildings.
 
     Reference semantics (IB-Tool2.py:1459-1646): walk MST edges
@@ -156,6 +161,9 @@ def _mst_cluster_kernel(pdf: pd.DataFrame, coverage_thresh: float, max_edge: flo
     areas = pdf["area"].to_numpy(dtype=np.float64)
 
     d_edges = geom.delaunay_edges(cents)
+    if road_segs is not None and d_edges.shape[0]:
+        # X3: edges crossing (non-dead-end) roads never merge clusters
+        d_edges = prune_edges_by_roads(cents, d_edges, road_segs)
     if d_edges.shape[0] == 0:
         return pd.DataFrame({"bid": bids, "cluster_id": bids, "part": part})
     # min vertex-to-vertex distance per edge (IB-Tool2.py:1382-94)
@@ -200,14 +208,18 @@ def mst_cluster(
     part_col: str = "part",
     coverage_thresh: float = 12.0,
     max_edge: float = 120.0,
+    roads: pd.DataFrame | None = None,
 ) -> DataFrame:
     """Footprint aggregation: (bid, cluster_id, part), parallel across
     partitions, sequential-greedy within (same shape as the reference's
     per-partition loop; partitions are bounded by the density
-    partitioner, so a group always fits one worker)."""
+    partitioner, so a group always fits one worker).  ``roads``
+    (optional pandas polylines) enables the Delaunay road-crossing
+    prune with the short-dead-end exemption."""
+    road_segs = _road_segments_pdf(roads) if roads is not None else None
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _mst_cluster_kernel(pdf, coverage_thresh, max_edge)
+        return _mst_cluster_kernel(pdf, coverage_thresh, max_edge, road_segs)
 
     cols = ["bid", "rings", "cx", "cy", "area", part_col]
     prepared = buildings.select(*cols).withColumnRenamed(part_col, "part")
@@ -301,3 +313,172 @@ def footprint_density(
     return per_part.join(part_area, "part_name").withColumn(
         "overlap_pct", F.col("bdg_area") / F.col("part_area") * F.lit(100.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Morphological refinement (HoleClose / GapClose — IB-Tool2.py:1704-1901)
+# ---------------------------------------------------------------------------
+
+
+def dilate_cells(cells: DataFrame, k: int = 1) -> DataFrame:
+    """Minkowski dilation of a cell set by a k-ring (the reference's
+    buffer step in its double-buffer closing trick)."""
+    offs = k_ring_offsets(k)
+    off_arr = F.array(
+        *[F.struct(F.lit(int(dx)).alias("dx"), F.lit(int(dy)).alias("dy")) for dx, dy in offs]
+    )
+    return (
+        cells.select("gx", "gy")
+        .withColumn("o", F.explode(off_arr))
+        .select((F.col("gx") + F.col("o.dx")).alias("gx"), (F.col("gy") + F.col("o.dy")).alias("gy"))
+        .distinct()
+    )
+
+
+def erode_cells(cells: DataFrame, k: int = 1) -> DataFrame:
+    """Erosion: keep cells whose whole k-ring is present.  Implemented
+    as a self-join count (a cell survives iff all (2k+1)² shifted
+    copies cover it) — one shuffle on the aggregated cell set."""
+    offs = k_ring_offsets(k)
+    need = offs.shape[0]
+    off_arr = F.array(
+        *[F.struct(F.lit(int(dx)).alias("dx"), F.lit(int(dy)).alias("dy")) for dx, dy in offs]
+    )
+    shifted = (
+        cells.select("gx", "gy")
+        .withColumn("o", F.explode(off_arr))
+        .select((F.col("gx") - F.col("o.dx")).alias("gx"), (F.col("gy") - F.col("o.dy")).alias("gy"))
+    )
+    counts = shifted.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.filter(F.col("n") == need)
+        .join(cells.select("gx", "gy"), ["gx", "gy"], "left_semi")
+        .select("gx", "gy")
+    )
+
+
+def morphological_close(cells: DataFrame, k: int = 1) -> DataFrame:
+    """Closing = dilate(k) then erode(k): bridges sub-2k gaps between
+    nearby boundary parts — the reference's GapClose double-buffer
+    (buffer out, buffer in; IB-Tool2.py:1849-1875) on the cell grid."""
+    return erode_cells(dilate_cells(cells, k), k)
+
+
+def hole_close(cells: DataFrame, max_hole_cells: int = 64) -> DataFrame:
+    """Fill enclosed holes smaller than the threshold (HoleClose,
+    IB-Tool2.py:1704-50: polygonize boundary → non-identical parts
+    < MaxHoleSize get merged in).
+
+    Holes = connected components of the complement (within the bbox,
+    padded) that do not touch the bbox border.  The complement of the
+    aggregated cell set is small, so the CC runs driver-side like the
+    other dissolve steps.
+    """
+    pdf = cells.select("gx", "gy").toPandas()
+    if pdf.empty:
+        return cells.sparkSession.createDataFrame(pdf, "gx long, gy long")
+    occ = {(int(a), int(b)) for a, b in zip(pdf["gx"], pdf["gy"])}
+    x0, x1 = pdf["gx"].min() - 1, pdf["gx"].max() + 1
+    y0, y1 = pdf["gy"].min() - 1, pdf["gy"].max() + 1
+    comp = [
+        (x, y)
+        for x in range(x0, x1 + 1)
+        for y in range(y0, y1 + 1)
+        if (x, y) not in occ
+    ]
+    carr = np.array(comp, dtype=np.int64)
+    labels = geom.cell_components(carr[:, 0], carr[:, 1])
+    fill = []
+    for lab in np.unique(labels):
+        m = labels == lab
+        grp = carr[m]
+        touches_border = (
+            (grp[:, 0] == x0).any()
+            or (grp[:, 0] == x1).any()
+            or (grp[:, 1] == y0).any()
+            or (grp[:, 1] == y1).any()
+        )
+        if not touches_border and m.sum() <= max_hole_cells:
+            fill.append(grp)
+    out = pdf
+    if fill:
+        extra = pd.DataFrame(np.vstack(fill), columns=["gx", "gy"])
+        out = pd.concat([pdf, extra], ignore_index=True)
+    return cells.sparkSession.createDataFrame(out, "gx long, gy long")
+
+
+# ---------------------------------------------------------------------------
+# Road graph operators (X2/X3 — NodesDetect + road-crossing prune)
+# ---------------------------------------------------------------------------
+
+
+def road_node_degrees(roads: DataFrame, snap: float = 1.0) -> DataFrame:
+    """Junction degree per road node (X2 — NodesDetect,
+    IB-Tool2.py:1127-72: vertices → spatial join → dissolve →
+    Join_Count).  Spark-first: explode polyline segments, snap both
+    endpoints to the grid, count per node.  degree 1 ⇒ dead end."""
+    segs = roads.select(
+        "rid",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(line) - 1), i -> "
+                "struct(element_at(line, i) AS a, element_at(line, i + 1) AS b))"
+            )
+        ).alias("s"),
+    )
+    ends = segs.select(
+        "rid", F.explode(F.array(F.col("s.a"), F.col("s.b"))).alias("p")
+    ).select(
+        "rid",
+        F.round(F.element_at("p", 1) / F.lit(snap)).cast("long").alias("nx"),
+        F.round(F.element_at("p", 2) / F.lit(snap)).cast("long").alias("ny"),
+    )
+    return ends.groupBy("nx", "ny").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.min("rid").alias("any_rid"),
+    )
+
+
+def _road_segments_pdf(roads_pdf: pd.DataFrame) -> np.ndarray:
+    """(M, 5) array of (x1, y1, x2, y2, total_line_length)."""
+    rows = []
+    for r in roads_pdf.itertuples():
+        pts = np.asarray([list(p) for p in r.line], dtype=np.float64)
+        L = float(np.hypot(*(np.diff(pts, axis=0).T)).sum())
+        for i in range(len(pts) - 1):
+            rows.append([pts[i, 0], pts[i, 1], pts[i + 1, 0], pts[i + 1, 1], L])
+    return np.asarray(rows, dtype=np.float64)
+
+
+def prune_edges_by_roads(
+    cents: np.ndarray,
+    d_edges: np.ndarray,
+    road_segs: np.ndarray,
+    deadend_exempt_len: float = 50.0,
+) -> np.ndarray:
+    """Drop Delaunay edges crossing a road (X3, IB-Tool2.py:1359-72),
+    keeping edges that only cross short dead-end roads (< 50 m total
+    polyline length — the reference's exemption).  Vectorized: bbox
+    prefilter per edge, then the orientation-sign crossing test."""
+    if road_segs.shape[0] == 0 or d_edges.shape[0] == 0:
+        return d_edges
+    segs = road_segs[road_segs[:, 4] >= deadend_exempt_len]
+    if segs.shape[0] == 0:
+        return d_edges
+    keep = np.ones(d_edges.shape[0], dtype=bool)
+    sminx = np.minimum(segs[:, 0], segs[:, 2])
+    smaxx = np.maximum(segs[:, 0], segs[:, 2])
+    sminy = np.minimum(segs[:, 1], segs[:, 3])
+    smaxy = np.maximum(segs[:, 1], segs[:, 3])
+    for i, (a, b) in enumerate(d_edges):
+        p, q = cents[int(a)], cents[int(b)]
+        lo = np.minimum(p, q)
+        hi = np.maximum(p, q)
+        cand = (sminx <= hi[0]) & (smaxx >= lo[0]) & (sminy <= hi[1]) & (smaxy >= lo[1])
+        if not cand.any():
+            continue
+        cs = segs[cand]
+        ea = np.tile(np.concatenate([p, q]), (cs.shape[0], 1))
+        if geom.segments_intersect(ea, cs[:, :4]).any():
+            keep[i] = False
+    return d_edges[keep]

@@ -399,3 +399,64 @@ def buildings_sf_per_cluster(sf_dir: str) -> int:
     # partition; larger partitions should be pre-split by the density
     # partitioner (grid-accelerated triangulation is future work)
     return min(250, max(10, int(round(sf * 20000))))
+
+
+# ---------------------------------------------------------------------------
+# Synthetic road network (A_RN analogue — FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+
+def roads_pdf(scene: Scene | None = None):
+    """Grid-ish streets per settlement + dead-end stubs.
+
+    Per cluster: 3 horizontal + 3 vertical streets through the core
+    (closed blocks for the Blocker/polygonize analogue) plus one short
+    (< 50 m) and one long (> 50 m) dead-end stub — the exemption the
+    reference's road-crossing prune tests (IB-Tool2.py:1359-72: short
+    dead-ends do NOT cut Delaunay edges)."""
+    import pandas as pd
+
+    scene = scene or default_scene()
+    rows = []
+    rid = 0
+    for k in range(N_CLUSTERS):
+        rng = np.random.RandomState(SCENE_SEED + 2000 + k)
+        cx, cy, rad = scene.cx[k], scene.cy[k], scene.rad[k]
+        span = rad * 0.9
+        offs = [-rad * 0.45, 0.0, rad * 0.45]
+        # streets carry a vertex at every crossing (the reference splits
+        # lines at junctions before NodesDetect, IB-Tool2.py:1127-46),
+        # so junction nodes are shared segment endpoints with degree 4
+        for off in offs:
+            hx = [[cx - span, cy + off]] + [[cx + o, cy + off] for o in offs] + [[cx + span, cy + off]]
+            rows.append((rid, hx, k, "street"))
+            rid += 1
+            vy = [[cx + off, cy - span]] + [[cx + off, cy + o] for o in offs] + [[cx + off, cy + span]]
+            rows.append((rid, vy, k, "street"))
+            rid += 1
+        # dead-end stubs anchored at a junction of the central streets
+        rows.append((rid, [[cx + offs[2], cy], [cx + offs[2], cy + 30.0]], k, "stub_short"))
+        rid += 1
+        rows.append((rid, [[cx + offs[0], cy], [cx + offs[0], cy - 120.0]], k, "stub_long"))
+        rid += 1
+        _ = rng  # seeded per cluster for future jitter; layout is exact
+    return pd.DataFrame(rows, columns=["rid", "line", "kind_cluster", "kind"]).rename(
+        columns={"kind_cluster": "true_cluster"}
+    )
+
+
+ROADS_SCHEMA = "rid long, line array<array<double>>, true_cluster long, kind string"
+
+
+def roads_df(spark, scene: Scene | None = None):
+    pdf = roads_pdf(scene)
+    rows = [
+        (
+            int(r.rid),
+            [[float(p[0]), float(p[1])] for p in r.line],
+            int(r.true_cluster),
+            r.kind,
+        )
+        for r in pdf.itertuples()
+    ]
+    return spark.createDataFrame(rows, ROADS_SCHEMA)

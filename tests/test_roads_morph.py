@@ -1,0 +1,106 @@
+"""Road graph operators + morphological refinement composites."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ib_tool_spark import delineate, geom, synth
+
+
+def _cells_df(spark, cells):
+    pdf = pd.DataFrame(sorted(cells), columns=["gx", "gy"])
+    return spark.createDataFrame(pdf, "gx long, gy long")
+
+
+def test_dilate_erode_roundtrip(spark):
+    block = {(x, y) for x in range(5) for y in range(5)}
+    df = _cells_df(spark, block)
+    dil = {(r.gx, r.gy) for r in delineate.dilate_cells(df, 1).collect()}
+    assert dil == {(x, y) for x in range(-1, 6) for y in range(-1, 6)}
+    ero = {(r.gx, r.gy) for r in delineate.erode_cells(df, 1).collect()}
+    assert ero == {(x, y) for x in range(1, 4) for y in range(1, 4)}
+    closed = {(r.gx, r.gy) for r in delineate.morphological_close(df, 1).collect()}
+    assert closed == block  # closing is idempotent on a convex block
+
+
+def test_morphological_close_bridges_gap(spark):
+    # two 3x3 blocks separated by a 1-cell gap → closing(1) bridges it
+    a = {(x, y) for x in range(0, 3) for y in range(0, 3)}
+    b = {(x, y) for x in range(4, 7) for y in range(0, 3)}
+    closed = {
+        (r.gx, r.gy)
+        for r in delineate.morphological_close(_cells_df(spark, a | b), 1).collect()
+    }
+    assert (3, 1) in closed  # gap filled
+    assert a | b <= closed
+    labels = geom.cell_components(
+        np.array([c[0] for c in closed]), np.array([c[1] for c in closed])
+    )
+    assert len(set(labels)) == 1  # single component after closing
+
+
+def test_hole_close(spark):
+    ring = {(x, y) for x in range(6) for y in range(6)} - {(2, 2), (2, 3), (3, 2), (3, 3)}
+    out = {(r.gx, r.gy) for r in delineate.hole_close(_cells_df(spark, ring), max_hole_cells=8).collect()}
+    assert out == {(x, y) for x in range(6) for y in range(6)}
+    # too-large hole stays open
+    out2 = {(r.gx, r.gy) for r in delineate.hole_close(_cells_df(spark, ring), max_hole_cells=2).collect()}
+    assert out2 == ring
+
+
+def test_road_node_degrees(spark):
+    roads = synth.roads_df(spark).filter(F.col("true_cluster") == 0)
+    deg = delineate.road_node_degrees(roads, snap=1.0).toPandas()
+    # grid of 3x3 streets → 9 interior crossings... but streets are
+    # separate polylines that overlap only at crossings in coordinates;
+    # endpoints of stubs have degree 1
+    assert (deg["degree"] >= 1).all()
+    dead_ends = deg[deg["degree"] == 1]
+    assert len(dead_ends) >= 2  # at least the two stub tips
+
+
+def test_mst_cluster_road_prune(spark):
+    # two tight groups with a long road between them: without roads
+    # they merge (coverage permitting); with the road they stay apart
+    rows = []
+    bid = 0
+    for gx in (1000.0, 1120.0):
+        for i in range(4):
+            ring = geom.rect_ring(gx + (i % 2) * 40, 1000.0 + (i // 2) * 40, 30, 24, 0.0)
+            cxc, cyc = geom.ring_centroid(ring)
+            rows.append(
+                {
+                    "bid": bid,
+                    "rings": [ring.tolist()],
+                    "cx": cxc,
+                    "cy": cyc,
+                    "area": abs(geom.ring_area(ring)),
+                    "part": "P0",
+                }
+            )
+            bid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "bid long, rings array<array<array<double>>>, cx double, cy double, area double, part string",
+    )
+    no_roads = delineate.mst_cluster(df, coverage_thresh=5.0, max_edge=200.0).toPandas()
+    assert no_roads.set_index("bid")["cluster_id"].nunique() == 1  # all merged
+
+    road = pd.DataFrame(
+        [{"rid": 0, "line": [[1075.0, 500.0], [1075.0, 1500.0]]}]  # long N-S road between groups
+    )
+    with_roads = delineate.mst_cluster(
+        df, coverage_thresh=5.0, max_edge=200.0, roads=road
+    ).toPandas()
+    by_bid = with_roads.set_index("bid")["cluster_id"]
+    assert by_bid[[0, 1, 2, 3]].nunique() == 1
+    assert by_bid[[4, 5, 6, 7]].nunique() == 1
+    assert by_bid[0] != by_bid[4]  # road cut the merge
+
+    # short dead-end road (< 50 m) is exempt → still merges
+    stub = pd.DataFrame([{"rid": 0, "line": [[1075.0, 1000.0], [1075.0, 1030.0]]}])
+    with_stub = delineate.mst_cluster(
+        df, coverage_thresh=5.0, max_edge=200.0, roads=stub
+    ).toPandas()
+    assert with_stub.set_index("bid")["cluster_id"].nunique() == 1
