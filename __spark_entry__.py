@@ -662,6 +662,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_cluster_boundaries"] = geo_cluster_boundaries
 
+    def geo_full_delineation(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import delineate, synth
+
+        per = min(40, synth.buildings_sf_per_cluster(sf_dir))
+        return delineate.full_delineation(spark, per_cluster=per)
+
+    q["geo_full_delineation"] = geo_full_delineation
+
     def geo_buffer_mask(spark, sf_dir):
         import pandas as pd
 

@@ -482,3 +482,235 @@ def prune_edges_by_roads(
         if geom.segments_intersect(ea, cs[:, :4]).any():
             keep[i] = False
     return d_edges[keep]
+
+
+# ---------------------------------------------------------------------------
+# Final refinement composites (PatchRemove / GapFix / EdgeCatch —
+# IB-Tool2.py:2197-2245, 2121-2195, 1903-2119)
+# ---------------------------------------------------------------------------
+
+
+def patch_remove(
+    boundary_cells: DataFrame,  # (gx, gy, cluster_id)
+    buildings: DataFrame,  # (cx, cy, area)
+    cell_size: float,
+    min_bdg_count: int = 10,
+    min_patch_cells: int = 8,
+    rescue_overlap_pct: float = 15.0,
+) -> DataFrame:
+    """Drop boundary patches with too few buildings or too little area
+    unless dense (PatchRemove, IB-Tool2.py:2197-2245: < MinBdgCount or
+    < MinPatchSize unless the footprint-overlap rescue fires)."""
+    b = buildings.withColumn(
+        "gx", F.floor(F.col("cx") / F.lit(cell_size)).cast("long")
+    ).withColumn("gy", F.floor(F.col("cy") / F.lit(cell_size)).cast("long"))
+    stats = (
+        boundary_cells.join(b, ["gx", "gy"], "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.countDistinct("gx", "gy").alias("n_cells"),
+            F.count("cx").alias("n_buildings"),
+            F.coalesce(F.sum("area"), F.lit(0.0)).alias("bdg_area"),
+        )
+    )
+    patch_area = F.col("n_cells").cast("double") * F.lit(cell_size * cell_size)
+    overlap = F.col("bdg_area") / patch_area * F.lit(100.0)
+    keep = (
+        ((F.col("n_buildings") >= min_bdg_count) & (F.col("n_cells") >= min_patch_cells))
+        | (overlap >= F.lit(rescue_overlap_pct))
+    )
+    kept = stats.filter(keep).select("cluster_id")
+    return boundary_cells.join(F.broadcast(kept), "cluster_id", "left_semi")
+
+
+def gap_fix(boundary_cells: DataFrame) -> DataFrame:
+    """Cross-partition stitch (GapFix, IB-Tool2.py:2121-95): boundary
+    patches produced independently per partition get re-labeled by a
+    global connected-components pass, so clusters touching across a
+    partition border merge into one boundary id."""
+    pdf = boundary_cells.select("gx", "gy").distinct().toPandas()
+    spark = boundary_cells.sparkSession
+    if pdf.empty:
+        return spark.createDataFrame(pdf.assign(boundary_id=[]), "gx long, gy long, boundary_id long")
+    labels = geom.cell_components(pdf["gx"].to_numpy(), pdf["gy"].to_numpy())
+    pdf["boundary_id"] = labels
+    merged = spark.createDataFrame(pdf, "gx long, gy long, boundary_id long")
+    return boundary_cells.join(F.broadcast(merged), ["gx", "gy"], "inner")
+
+
+def edge_catch(
+    boundary_cells: DataFrame,  # (gx, gy, cluster_id)
+    roads: pd.DataFrame,  # polylines (rid, line)
+    cell_size: float,
+    max_dist: float = 70.0,
+) -> DataFrame:
+    """Snap boundaries outward to adjacent roads (EdgeCatch,
+    IB-Tool2.py:1903-2119, simplified to cell resolution): cells within
+    ``max_dist`` of the existing boundary whose center lies within one
+    cell of a road line get annexed — the boundary 'catches' the road
+    edge.  The reference's orthogonal snap-line construction reduces,
+    at cell resolution, to this annex-toward-the-road rule (documented
+    simplification)."""
+    segs = _road_segments_pdf(roads)[:, :4]
+    k = int(np.ceil(max_dist / cell_size))
+    spark = boundary_cells.sparkSession
+
+    pdf = boundary_cells.toPandas()
+    out_parts = [pdf]
+    for cid, grp in pdf.groupby("cluster_id"):
+        occ = {(int(a), int(b)) for a, b in zip(grp["gx"], grp["gy"])}
+        cand = set()
+        for (x, y) in occ:
+            for dx in range(-k, k + 1):
+                for dy in range(-k, k + 1):
+                    if (x + dx, y + dy) not in occ:
+                        cand.add((x + dx, y + dy))
+        if not cand:
+            continue
+        carr = np.array(sorted(cand), dtype=np.float64)
+        cxs = (carr[:, 0] + 0.5) * cell_size
+        cys = (carr[:, 1] + 0.5) * cell_size
+        near = np.full(carr.shape[0], np.inf)
+        for s in segs:
+            _fx, _fy, d = geom.perp_foot(cxs, cys, s[0], s[1], s[2], s[3])
+            near = np.minimum(near, d)
+        annex = carr[near <= cell_size].astype(np.int64)
+        if annex.shape[0]:
+            out_parts.append(
+                pd.DataFrame({"gx": annex[:, 0], "gy": annex[:, 1], "cluster_id": cid})
+            )
+    merged = pd.concat(out_parts, ignore_index=True).drop_duplicates()
+    return spark.createDataFrame(merged, "gx long, gy long, cluster_id long")
+
+
+# ---------------------------------------------------------------------------
+# Full delineation pipeline (the reference's main(), IB-Tool2.py:2248-2650)
+# ---------------------------------------------------------------------------
+
+CLUSTER_CELLS_SCHEMA = "gx long, gy long, cluster_id long"
+
+
+def cluster_cells(
+    buildings_with_clusters: DataFrame, buffer_m: float = 25.0, cell_size: float = 8.0
+) -> DataFrame:
+    """Buffered-footprint cell set per cluster (the dissolve body used
+    by the boundary stages), as (gx, gy, cluster_id) rows."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["cluster_id"].iloc[0])
+        cells = set()
+        for rlist in pdf["rings"]:
+            ring = np.vstack([np.asarray(v, dtype=np.float64) for v in rlist[0]])
+            minx, miny = ring.min(axis=0) - buffer_m
+            maxx, maxy = ring.max(axis=0) + buffer_m
+            for gx in range(int(np.floor(minx / cell_size)), int(np.floor(maxx / cell_size)) + 1):
+                for gy in range(int(np.floor(miny / cell_size)), int(np.floor(maxy / cell_size)) + 1):
+                    cells.add((gx, gy))
+        arr = sorted(cells)
+        return pd.DataFrame(
+            {"gx": [c[0] for c in arr], "gy": [c[1] for c in arr], "cluster_id": cid}
+        )
+
+    return buildings_with_clusters.groupBy("cluster_id").applyInPandas(run, CLUSTER_CELLS_SCHEMA)
+
+
+def _hole_close_grouped(cells: DataFrame, max_hole_cells: int = 64) -> DataFrame:
+    """hole_close applied per boundary_id via applyInPandas."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        bid = int(pdf["boundary_id"].iloc[0])
+        occ = {(int(a), int(b)) for a, b in zip(pdf["gx"], pdf["gy"])}
+        x0, x1 = pdf["gx"].min() - 1, pdf["gx"].max() + 1
+        y0, y1 = pdf["gy"].min() - 1, pdf["gy"].max() + 1
+        comp = [
+            (x, y)
+            for x in range(x0, x1 + 1)
+            for y in range(y0, y1 + 1)
+            if (x, y) not in occ
+        ]
+        carr = np.array(comp, dtype=np.int64)
+        labels = geom.cell_components(carr[:, 0], carr[:, 1])
+        fill = list(occ)
+        for lab in np.unique(labels):
+            m = labels == lab
+            grp = carr[m]
+            touches = (
+                (grp[:, 0] == x0).any()
+                or (grp[:, 0] == x1).any()
+                or (grp[:, 1] == y0).any()
+                or (grp[:, 1] == y1).any()
+            )
+            if not touches and m.sum() <= max_hole_cells:
+                fill.extend((int(a), int(b)) for a, b in grp)
+        fill = sorted(set(fill))
+        return pd.DataFrame(
+            {"gx": [c[0] for c in fill], "gy": [c[1] for c in fill], "boundary_id": bid}
+        )
+
+    return cells.select("gx", "gy", "boundary_id").groupBy("boundary_id").applyInPandas(
+        run, "gx long, gy long, boundary_id long"
+    )
+
+
+def full_delineation(
+    spark,
+    per_cluster: int = 30,
+    cell_size: float = 16.0,
+    coverage_thresh: float = 12.0,
+    min_bdg_count: int = 5,
+    use_roads: bool = True,
+    use_edge_catch: bool = False,
+) -> DataFrame:
+    """End-to-end settlement delineation over the synthetic scene —
+    the reference's per-partition dataflow (IB-Tool2.py:2401-2517) plus
+    its finalize stage, in one Spark DAG:
+
+    buildings → InputHU_Filter (use-code + min-area filters) → density
+    partitioning → MST clustering (road-crossing prune) → buffered
+    dissolve to cells → PatchRemove → [EdgeCatch] → GapFix stitch →
+    HoleClose → per-boundary summary.
+    """
+    from . import synth
+    from .config import filter_predicate
+
+    b = synth.buildings_df(spark, per_cluster=per_cluster)
+    # InputHU_Filter: positive use codes + >= 35 m² (IB-Tool2.py:831-40)
+    b = b.filter(filter_predicate(F.col("fkt"), list(synth.POS_FKT)) & (F.col("area") >= 35.0))
+
+    cent_pts = b.select("bid", F.col("cx").alias("x"), F.col("cy").alias("y"))
+    parts = density_partitions(
+        cent_pts.withColumn("image_id", F.col("bid").cast("string")), 150.0, 300.0, 1e-5
+    )
+    bp = assign_partitions(b.withColumn("x", F.col("cx")).withColumn("y", F.col("cy")), parts, 150.0)
+    bp = bp.filter(F.col("part_name").isNotNull()).withColumnRenamed("part_name", "part")
+
+    roads = synth.roads_pdf()[["rid", "line"]] if use_roads else None
+    clustered = mst_cluster(bp, coverage_thresh=coverage_thresh, roads=roads)
+    # AddSinglBdg (IB-Tool2.py:1649-1702): large detached buildings that
+    # fell outside every dense partition become their own clusters
+    singles = (
+        b.join(clustered.select("bid"), "bid", "left_anti")
+        .filter(F.col("area") > 300.0)
+        .select("bid", F.col("bid").alias("cluster_id"))
+    )
+
+    # PatchRemove applies to the aggregated clusters; AddSinglBdg
+    # singletons bypass it (they are kept by construction, mirroring
+    # the reference's ordering where AddSinglBdg output joins the
+    # final merge after the density-based filters)
+    cells_main = cluster_cells(b.join(clustered.select("bid", "cluster_id"), "bid"), 25.0, cell_size)
+    cells_main = patch_remove(cells_main, b, cell_size, min_bdg_count=min_bdg_count, min_patch_cells=4)
+    cells_single = cluster_cells(b.join(singles, "bid"), 25.0, cell_size)
+    cells = cells_main.unionByName(cells_single)
+    if use_edge_catch and roads is not None:
+        cells = edge_catch(cells, roads, cell_size)
+    stitched = gap_fix(cells)
+    closed = _hole_close_grouped(stitched)
+    return (
+        closed.groupBy("boundary_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (F.count(F.lit(1)).cast("double") * F.lit(cell_size * cell_size)).alias("area"),
+        )
+        .orderBy("boundary_id")
+    )

@@ -339,8 +339,11 @@ def buildings_pdf(scene: Scene | None = None, per_cluster: int = 40):
         n_b = per_cluster + (k % 5) * (per_cluster // 8)
         cx, cy, rad = scene.cx[k], scene.cy[k], scene.rad[k]
         for _ in range(n_b):
-            bx = cx + rng.normal() * rad * 0.30
-            by = cy + rng.normal() * rad * 0.30
+            # fixed ~110 m core scatter: footprint spacing in the tens
+            # of meters, so the reference's coverage/density thresholds
+            # behave as they do on real settlement data
+            bx = cx + rng.normal() * 110.0
+            by = cy + rng.normal() * 110.0
             w = rng.uniform(8, 30)
             h = rng.uniform(8, 30)
             ang = rng.uniform(0, np.pi)
@@ -358,8 +361,8 @@ def buildings_pdf(scene: Scene | None = None, per_cluster: int = 40):
             bid += 1
         # small sheds (below the reference's 35 m² floor)
         for j in range(3):
-            bx = cx + rng.normal() * rad * 0.3
-            by = cy + rng.normal() * rad * 0.3
+            bx = cx + rng.normal() * 110.0
+            by = cy + rng.normal() * 110.0
             ring = rect_ring(bx, by, 5.0, 5.0, 0.0)
             rows.append((bid, ring, POS_FKT[0], k))
             bid += 1
