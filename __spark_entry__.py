@@ -424,6 +424,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g_knn_assign"] = g_knn_assign
 
+    def g_hex_density(spark, sf_dir):
+        _ship(spark)
+        from ib_tool_spark import ops
+
+        pts = _pts_df(spark, sf_dir).withColumnRenamed("px", "x").withColumnRenamed("py", "y")
+        return ops.hex_density(pts, res=9, k=1)
+
+    q["g_hex_density"] = g_hex_density
+
     # ---- training-data ops: documents ----
 
     def t_dedup_exact(spark, sf_dir):

@@ -499,3 +499,67 @@ def within_distance_join(
         .filter(F.col("dist") <= F.lit(float(radius)))
         .drop("__kcell", "cx", "cy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hex ("H3-style") cell ops — isotropic density neighborhoods
+# ---------------------------------------------------------------------------
+
+
+def with_hex_cell(df: DataFrame, res: int = 10, grid: GridConfig = DEFAULT_GRID) -> DataFrame:
+    """Attach the hex axial cell id (Arrow-vectorized numpy kernel —
+    hex rounding is branchy math that stays in numpy; the quadkey path
+    covers the pure-JVM case)."""
+    from .cells import hex_encode
+
+    @F.pandas_udf(T.LongType())
+    def enc(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(hex_encode(x.to_numpy(np.float64), y.to_numpy(np.float64), res, grid))
+
+    return df.withColumn("hex_cell", enc(F.col("x"), F.col("y")))
+
+
+def hex_density(
+    points: DataFrame, res: int = 10, k: int = 1, grid: GridConfig = DEFAULT_GRID
+) -> DataFrame:
+    """Per-hex-cell count with a k-ring neighborhood sum — the hex
+    counterpart of density_grid (hex rings are the isotropic
+    neighborhoods the reference's circular PointDensity kernel
+    assumes).  Same agg-then-ring-sum shape: the explode happens on
+    aggregated cells, shuffle volume is O(occupied cells × ring)."""
+    from .cells import hex_k_ring_offsets, _HEX_BITS, _HEX_MASK, _HEX_OFF, _RES_SHIFT
+
+    binned = (
+        with_hex_cell(points, res, grid)
+        .groupBy("hex_cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    offs = hex_k_ring_offsets(k)
+    # unpack axial (q, r), shift by each ring offset in JVM bit math,
+    # repack — no Python in the spread stage
+    q = F.shiftrightunsigned(F.col("hex_cell"), _HEX_BITS).bitwiseAND(F.lit(_HEX_MASK))
+    r = F.col("hex_cell").bitwiseAND(F.lit(_HEX_MASK))
+    res_bits = F.col("hex_cell").bitwiseAND(F.lit(((1 << 63) - 1) ^ ((1 << _RES_SHIFT) - 1)))
+    spread = None
+    shifted_rows = (
+        binned.withColumn(
+            "o",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(int(dq)).alias("dq"), F.lit(int(dr)).alias("dr"))
+                        for dq, dr in offs
+                    ]
+                )
+            ),
+        )
+        .select(
+            res_bits.bitwiseOR(
+                F.shiftleft(q + F.col("o.dq"), _HEX_BITS)
+            ).bitwiseOR(r + F.col("o.dr")).alias("hex_cell"),
+            F.col("cnt"),
+        )
+        .groupBy("hex_cell")
+        .agg(F.sum("cnt").alias("nsum"))
+    )
+    return shifted_rows

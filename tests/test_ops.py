@@ -179,3 +179,29 @@ def test_pip_join_sql_equals_pandas_refine(spark, ids, points_df, scene):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_hex_ops_match_numpy(spark, ids, points_df):
+    """Spark hex encode equals the numpy kernel; hex k-ring density
+    matches a brute-force axial-offset sum."""
+    got = ops.with_hex_cell(points_df, 10).select("image_id", "hex_cell").toPandas()
+    x, y = synth.geocode_np(ids)
+    want = cells.hex_encode(x, y, 10)
+    by_id = got.set_index("image_id")["hex_cell"]
+    assert (by_id[ids].to_numpy() == want).all()
+
+    dens = ops.hex_density(points_df, 10, k=1).toPandas()
+    import collections
+
+    counts = collections.Counter(want.tolist())
+    offs = cells.hex_k_ring_offsets(1)
+    expect = collections.Counter()
+    for cell, cnt in counts.items():
+        q, r, res = cells.hex_decode(np.asarray([cell]))
+        for dq, dr in offs:
+            qq = (int(q[0]) + int(dq) + (1 << 28)) & ((1 << 29) - 1)
+            rr = (int(r[0]) + int(dr) + (1 << 28)) & ((1 << 29) - 1)
+            key = (int(res[0]) << 58) | (qq << 29) | rr
+            expect[key] += cnt
+    got_map = {int(r_.hex_cell): int(r_.nsum) for r_ in dens.itertuples()}
+    assert got_map == dict(expect)
