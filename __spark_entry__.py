@@ -424,6 +424,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g_knn_assign"] = g_knn_assign
 
+    def g_tile_clip_exact(spark, sf_dir):
+        # J13 exact clip: settlement polygons cut into per-tile pieces;
+        # invariant (tested): Σ piece_area == polygon area
+        _ship(spark)
+        from ib_tool_spark import ops as O
+        from ib_tool_spark import synth
+
+        pdf = O.polygon_tile_clip(synth.default_scene().polygons, tile_res=6)
+        summary = (
+            pdf.groupby("sid")
+            .agg(n_pieces=("tile", "count"), total_area=("piece_area", "sum"))
+            .reset_index()
+        )
+        return spark.createDataFrame(summary, "sid long, n_pieces long, total_area double")
+
+    q["g_tile_clip_exact"] = g_tile_clip_exact
+
     def g_hex_density(spark, sf_dir):
         _ship(spark)
         from ib_tool_spark import ops

@@ -634,3 +634,66 @@ def canonical_ring_hash(rings: list[np.ndarray], quantum: float = 1e-6) -> int:
         q = np.roll(q, -start, axis=0)
         parts.append(q.tobytes())
     return xxh64(b"|".join(sorted(parts)))
+
+
+# ---------------------------------------------------------------------------
+# Exact convex clipping (J13 — Clip_analysis against rectangular tiles)
+# ---------------------------------------------------------------------------
+
+
+def clip_ring_rect(ring: np.ndarray, minx: float, miny: float, maxx: float, maxy: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of one ring against an axis rectangle.
+
+    Exact for any simple ring vs a convex window — the tile-clip case
+    (arcpy Clip_analysis, IB-Tool2.py:951).  Returns the clipped ring
+    (possibly empty, K×2).
+    """
+    ring = coerce_ring(ring)
+
+    def clip_half(pts, inside, intersect):
+        if pts.shape[0] == 0:
+            return pts
+        out = []
+        n = pts.shape[0]
+        for i in range(n):
+            cur = pts[i]
+            prv = pts[i - 1]
+            cin, pin = inside(cur), inside(prv)
+            if cin:
+                if not pin:
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prv, cur))
+        return np.asarray(out, dtype=np.float64).reshape(-1, 2)
+
+    def ix_at_x(xv):
+        def f(a, b):
+            t = (xv - a[0]) / (b[0] - a[0])
+            return np.array([xv, a[1] + t * (b[1] - a[1])])
+
+        return f
+
+    def ix_at_y(yv):
+        def f(a, b):
+            t = (yv - a[1]) / (b[1] - a[1])
+            return np.array([a[0] + t * (b[0] - a[0]), yv])
+
+        return f
+
+    ring = clip_half(ring, lambda p: p[0] >= minx, ix_at_x(minx))
+    ring = clip_half(ring, lambda p: p[0] <= maxx, ix_at_x(maxx))
+    ring = clip_half(ring, lambda p: p[1] >= miny, ix_at_y(miny))
+    ring = clip_half(ring, lambda p: p[1] <= maxy, ix_at_y(maxy))
+    return ring
+
+
+def clip_polygon_rect(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[np.ndarray]:
+    """Clip every ring (outer + holes) against the rectangle; degenerate
+    results (< 3 vertices or ~zero area) are dropped."""
+    out = []
+    for r in rings:
+        c = clip_ring_rect(r, minx, miny, maxx, maxy)
+        if c.shape[0] >= 3 and abs(ring_area(c)) > 1e-9:
+            out.append(c)
+    return out

@@ -563,3 +563,54 @@ def hex_density(
         .agg(F.sum("cnt").alias("nsum"))
     )
     return shifted_rows
+
+
+# ---------------------------------------------------------------------------
+# Exact polygon↔tile decomposition (J13 clip + the tiling layer's
+# vector materialization)
+# ---------------------------------------------------------------------------
+
+
+def polygon_tile_clip(
+    polygons: list[tuple[int, str, list[np.ndarray]]],
+    tile_res: int,
+    grid: GridConfig = DEFAULT_GRID,
+) -> pd.DataFrame:
+    """Cut every polygon into exact per-tile pieces (Clip_analysis per
+    tile window).  Driver-side over the polygon set (small); the result
+    is the broadcastable (sid, tile, rings, piece_area) table that lets
+    per-tile consumers work with exact sub-geometries instead of cell
+    approximations.  Σ piece_area == polygon area exactly (up to float
+    associativity) — pinned by tests.
+    """
+    from .cells import encode_colrow
+    from .geom import clip_polygon_rect, polygon_area, rings_bbox
+
+    cs = grid.cell_size(tile_res)
+    n = 1 << tile_res
+    rows = []
+    for sid, _name, rings in polygons:
+        minx, miny, maxx, maxy = rings_bbox([np.asarray(r) for r in rings])
+        t0x = max(0, int(np.floor((minx - grid.x0) / cs)))
+        t1x = min(n - 1, int(np.floor((maxx - grid.x0) / cs)))
+        t0y = max(0, int(np.floor((miny - grid.y0) / cs)))
+        t1y = min(n - 1, int(np.floor((maxy - grid.y0) / cs)))
+        for tx in range(t0x, t1x + 1):
+            for ty in range(t0y, t1y + 1):
+                wminx = grid.x0 + tx * cs
+                wminy = grid.y0 + ty * cs
+                clipped = clip_polygon_rect(rings, wminx, wminy, wminx + cs, wminy + cs)
+                if not clipped:
+                    continue
+                # even-odd area: outer pieces positive, hole pieces
+                # carry their own orientation after clipping
+                area = polygon_area(clipped)
+                rows.append(
+                    {
+                        "sid": sid,
+                        "tile": int(encode_colrow([tx], [ty], tile_res)[0]),
+                        "rings": [c.tolist() for c in clipped],
+                        "piece_area": area,
+                    }
+                )
+    return pd.DataFrame(rows)

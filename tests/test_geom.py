@@ -152,3 +152,38 @@ def test_delaunay_square_and_mst_subset():
     for idx in picked:
         a, b = int(full[idx, 0]), int(full[idx, 1])
         assert (a, b) in de
+
+
+def test_clip_ring_rect():
+    tri = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    # window covering the lower-left corner
+    c = geom.clip_ring_rect(tri, -1.0, -1.0, 5.0, 5.0)
+    # both the x>5 and y>5 corner triangles (12.5 each) are cut off
+    assert abs(abs(geom.ring_area(c)) - 25.0) < 1e-9
+    # fully inside window → unchanged area
+    c2 = geom.clip_ring_rect(tri, -100, -100, 100, 100)
+    assert abs(geom.ring_area(c2) - geom.ring_area(tri)) < 1e-12
+    # fully outside → empty
+    assert geom.clip_ring_rect(tri, 20, 20, 30, 30).shape[0] == 0
+
+
+def test_polygon_tile_clip_partitions_area():
+    """Exact decomposition: per-tile pieces sum to the polygon area."""
+    from ib_tool_spark import ops, synth
+
+    scene = synth.default_scene()
+    pdf = ops.polygon_tile_clip(scene.polygons[:12], tile_res=6)
+    got = pdf.groupby("sid")["piece_area"].sum()
+    for sid, _name, rings in scene.polygons[:12]:
+        want = geom.polygon_area(rings)
+        assert abs(got[sid] - want) < 1e-6 * want, (sid, got[sid], want)
+    # piece rings live inside their tile bbox
+    from ib_tool_spark import cells as C
+
+    for row in pdf.head(50).itertuples():
+        ix, iy, res = C.decode_colrow(np.asarray([row.tile]))
+        cs = C.DEFAULT_GRID.cell_size(int(res[0]))
+        for ring in row.rings:
+            r = np.asarray(ring)
+            assert (r[:, 0] >= ix[0] * cs - 1e-9).all() and (r[:, 0] <= (ix[0] + 1) * cs + 1e-9).all()
+            assert (r[:, 1] >= iy[0] * cs - 1e-9).all() and (r[:, 1] <= (iy[0] + 1) * cs + 1e-9).all()
