@@ -225,9 +225,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j6_semi"] = j6_semi
 
     def j7_anti(spark, sf_dir):
-        # J7 anti-join semantics (INVERT selections)
+        # J7 anti-join semantics (INVERT selections). The right side is
+        # filtered to urgent high-value orders so the anti set is
+        # non-empty (every customer has *some* order at all SFs, which
+        # would make a bare anti-join vacuous).
         c = _t(spark, sf_dir, "customer")
-        o = _t(spark, sf_dir, "orders")
+        o = _t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000.0)
+        )
         return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
     q["j7_anti"] = j7_anti
@@ -776,9 +781,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["a1_pricing_summary"] = """
       SELECT l_returnflag, l_linestatus,
-             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-             SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
              COUNT(*) AS n_rows
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -788,7 +793,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["j2_revenue_by_nation"] = """
       SELECT r_name, n_name,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
              COUNT(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey
@@ -798,7 +803,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["j1_broadcast_lookup"] = """
-      SELECT p_brand, COUNT(*) AS n_items, SUM(CAST(l_quantity AS BIGINT)) AS qty
+      SELECT p_brand, COUNT(*) AS n_items, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
       GROUP BY p_brand
@@ -829,7 +834,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["j7_anti"] = """
       SELECT c_custkey, c_name FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT'
+                          AND o_totalprice > 150000.0)
     """
 
     o["u1_merge_union"] = """
@@ -874,10 +882,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["w_running_sum"] = """
       SELECT user_id, event_id,
-             SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS running_micro
+             ) AS BIGINT) AS running_micro
       FROM events
     """
 
@@ -900,7 +908,7 @@ def oracle_sql() -> dict[str, str]:
     o["a7_global_threshold"] = """
       WITH agg AS (
         SELECT o_orderpriority,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
                COUNT(*) AS n
         FROM orders GROUP BY o_orderpriority
       ),
@@ -984,7 +992,7 @@ def oracle_sql() -> dict[str, str]:
       ),
       offs(dx, dy) AS (VALUES {", ".join(offs)}),
       spread AS (
-        SELECT gx + dx AS gx, gy + dy AS gy, SUM(cnt) AS nsum
+        SELECT gx + dx AS gx, gy + dy AS gy, CAST(SUM(cnt) AS BIGINT) AS nsum
         FROM binned CROSS JOIN offs GROUP BY 1, 2
       )
       SELECT gx, gy, nsum, CAST(nsum AS DOUBLE) / (pi() * 1200.0 * 1200.0) AS density
@@ -1090,9 +1098,9 @@ def oracle_sql() -> dict[str, str]:
     qv_sql = "[" + ", ".join(str(float(v)) for v in _ANN_QV) + "]"
     o["e_ann_topk_ip"] = f"""
       SELECT vec_id,
-             list_sum(list_transform(list_zip(embedding, {qv_sql}),
+             CAST(list_sum(list_transform(list_zip(embedding, {qv_sql}),
                s -> CAST(ROUND(CAST(s[1] AS DOUBLE) * 10000.0) AS BIGINT)
-                  * CAST(ROUND(CAST(s[2] AS DOUBLE) * 10000.0) AS BIGINT))) AS dot_ip
+                  * CAST(ROUND(CAST(s[2] AS DOUBLE) * 10000.0) AS BIGINT))) AS BIGINT) AS dot_ip
       FROM embeddings
       ORDER BY dot_ip DESC, vec_id
       LIMIT {_ANN_K}
