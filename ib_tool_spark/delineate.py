@@ -36,44 +36,67 @@ from .cells import k_ring_offsets
 # ---------------------------------------------------------------------------
 
 
+def density_partitions_df(
+    points: DataFrame,
+    cell_size: float = 150.0,
+    radius: float = 300.0,
+    min_density: float = 1e-5,
+) -> DataFrame:
+    """Dense-cell partition map as a DataFrame: (gx, gy, part_name).
+
+    Mirrors Partitioning.pyt:84-119 (PointDensity cell=150 radius=300,
+    threshold 1e-5, NAME='PART_<k>').  Fully distributed: the density
+    grid aggregates map-side and the component labeling runs through
+    ops.cell_components_df (per-super-cell CC + border merge), so no
+    unbounded cell set ever reaches the driver.  Labels — and therefore
+    PART names — are bit-identical to the driver-side kernel's.
+    """
+    dense = (
+        ops.density_grid(points, cell_size, radius)
+        .filter(F.col("density") > min_density)
+        .select("gx", "gy")
+    )
+    lab = ops.cell_components_df(dense)
+    return lab.select(
+        "gx", "gy", F.concat(F.lit("PART_"), F.col("comp").cast("string")).alias("part_name")
+    )
+
+
 def density_partitions(
     points: DataFrame,
     cell_size: float = 150.0,
     radius: float = 300.0,
     min_density: float = 1e-5,
 ) -> pd.DataFrame:
-    """Dense-cell partition map: (gx, gy, part_name) pandas DataFrame.
-
-    Mirrors Partitioning.pyt:84-119 (PointDensity cell=150 radius=300,
-    threshold 1e-5, NAME='PART_<k>').  The density grid aggregates
-    before anything touches the driver; the CC runs over occupied
-    dense cells only (thousands of rows at any scale).
-    """
-    dense = (
-        ops.density_grid(points, cell_size, radius)
-        .filter(F.col("density") > min_density)
-        .select("gx", "gy")
-        .toPandas()
-    )
-    if dense.empty:
+    """Collected (gx, gy, part_name) partition map — test-scale
+    convenience wrapper around :func:`density_partitions_df` for call
+    sites that broadcast the map; use the _df variant in pipelines."""
+    pdf = density_partitions_df(points, cell_size, radius, min_density).toPandas()
+    if pdf.empty:
         return pd.DataFrame(columns=["gx", "gy", "part_name"])
-    labels = geom.cell_components(dense["gx"].to_numpy(), dense["gy"].to_numpy())
-    dense["part_name"] = [f"PART_{v}" for v in labels]
-    return dense
+    return pdf.sort_values(["gx", "gy"]).reset_index(drop=True)
+
+
+def assign_partitions_df(
+    points: DataFrame, parts: DataFrame, cell_size: float = 150.0
+) -> DataFrame:
+    """Attach part_name to every point via its density cell.  The
+    partition map is output-scale (dense cells only) so the broadcast
+    hint is safe up to ~10⁷ cells; AQE falls back to shuffle join
+    beyond the broadcast threshold."""
+    keyed = points.withColumn(
+        "gx", F.floor(F.col("x") / F.lit(cell_size)).cast("long")
+    ).withColumn("gy", F.floor(F.col("y") / F.lit(cell_size)).cast("long"))
+    return keyed.join(F.broadcast(parts), ["gx", "gy"], "left").drop("gx", "gy")
 
 
 def assign_partitions(
     points: DataFrame, parts: pd.DataFrame, cell_size: float = 150.0
 ) -> DataFrame:
-    """Attach part_name to every point via its density cell (broadcast
-    equi-join; points in non-dense cells get NULL — the reference
-    likewise only processes features inside partition polygons)."""
+    """assign_partitions_df with a pandas partition map (test-scale)."""
     spark = points.sparkSession
     part_df = spark.createDataFrame(parts, "gx long, gy long, part_name string")
-    keyed = points.withColumn(
-        "gx", F.floor(F.col("x") / F.lit(cell_size)).cast("long")
-    ).withColumn("gy", F.floor(F.col("y") / F.lit(cell_size)).cast("long"))
-    return keyed.join(F.broadcast(part_df), ["gx", "gy"], "left").drop("gx", "gy")
+    return assign_partitions_df(points, part_df, cell_size)
 
 
 # ---------------------------------------------------------------------------
@@ -114,19 +137,36 @@ def buffer_mask(
         .select((F.col("gx") + F.col("o.dx")).alias("gx"), (F.col("gy") + F.col("o.dy")).alias("gy"))
         .distinct()
     )
-    cells_pdf = mask.toPandas()
-    labels = geom.cell_components(cells_pdf["gx"].to_numpy(), cells_pdf["gy"].to_numpy())
-    cells_pdf["comp"] = labels
-    spark = points.sparkSession
-    cells_df = spark.createDataFrame(cells_pdf, "gx long, gy long, comp long")
+    # dissolve = distributed CC (per-super-cell + border merge); the
+    # mask cell set never reaches the driver
+    cells_df = ops.cell_components_df(mask)
 
-    polys = []
-    for comp, grp in cells_pdf.groupby("comp"):
-        rings = geom.trace_cell_boundary(grp["gx"].to_numpy(), grp["gy"].to_numpy())
+    def trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = int(pdf["comp"].iloc[0])
+        rings = geom.trace_cell_boundary(pdf["gx"].to_numpy(), pdf["gy"].to_numpy())
         rings = [r * cell_size for r in rings]
         area = sum(geom.ring_area(r) for r in rings)  # signed: holes subtract
-        polys.append({"comp": int(comp), "rings": [r.tolist() for r in rings], "area": area})
-    return cells_df, pd.DataFrame(polys)
+        return pd.DataFrame(
+            {"comp": [comp], "rings": [[r.tolist() for r in rings]], "area": [area]}
+        )
+
+    # raster→vector per dissolved component (one settlement each —
+    # bounded group); only the polygon rows (output-scale) are collected
+    polys = (
+        cells_df.groupBy("comp")
+        .applyInPandas(trace, "comp long, rings array<array<array<double>>>, area double")
+        .toPandas()
+    )
+    if not polys.empty:
+        polys = polys.sort_values("comp").reset_index(drop=True)
+        polys["rings"] = [
+            [
+                np.vstack([np.asarray(pt, dtype=np.float64) for pt in ring]).tolist()
+                for ring in rr
+            ]
+            for rr in polys["rings"]
+        ]
+    return cells_df, polys
 
 
 # ---------------------------------------------------------------------------
@@ -364,47 +404,61 @@ def morphological_close(cells: DataFrame, k: int = 1) -> DataFrame:
     return erode_cells(dilate_cells(cells, k), k)
 
 
+def _fill_holes_np(gx: np.ndarray, gy: np.ndarray, max_hole_cells: int) -> np.ndarray:
+    """One component's cells + its enclosed holes ≤ max_hole_cells,
+    as an (N, 2) int64 array.  Complement reachability runs on a dense
+    bbox grid with an iterative vectorized border flood — no Python
+    per-cell loops (the bbox is one settlement's extent)."""
+    x0, y0 = int(gx.min()) - 1, int(gy.min()) - 1
+    w = int(gx.max()) - x0 + 2
+    h = int(gy.max()) - y0 + 2
+    grid = np.zeros((w, h), dtype=bool)
+    grid[gx - x0, gy - y0] = True
+    # flood the complement from the padded border (4-connected)
+    reach = np.zeros_like(grid)
+    reach[0, :] = ~grid[0, :]
+    reach[-1, :] = ~grid[-1, :]
+    reach[:, 0] = ~grid[:, 0]
+    reach[:, -1] = ~grid[:, -1]
+    while True:
+        grow = np.zeros_like(reach)
+        grow[1:, :] |= reach[:-1, :]
+        grow[:-1, :] |= reach[1:, :]
+        grow[:, 1:] |= reach[:, :-1]
+        grow[:, :-1] |= reach[:, 1:]
+        grow &= ~grid
+        new = grow & ~reach
+        if not new.any():
+            break
+        reach |= new
+    holes = ~grid & ~reach
+    if holes.any():
+        # size-threshold per hole component (holes are tiny by contract)
+        hx, hy = np.nonzero(holes)
+        labels = geom.cell_components(hx.astype(np.int64), hy.astype(np.int64))
+        counts = np.bincount(labels)
+        keep = counts[labels] <= max_hole_cells
+        grid[hx[keep], hy[keep]] = True
+    fx, fy = np.nonzero(grid)
+    return np.stack([fx + x0, fy + y0], axis=1).astype(np.int64)
+
+
 def hole_close(cells: DataFrame, max_hole_cells: int = 64) -> DataFrame:
     """Fill enclosed holes smaller than the threshold (HoleClose,
     IB-Tool2.py:1704-50: polygonize boundary → non-identical parts
     < MaxHoleSize get merged in).
 
-    Holes = connected components of the complement (within the bbox,
-    padded) that do not touch the bbox border.  The complement of the
-    aggregated cell set is small, so the CC runs driver-side like the
-    other dissolve steps.
+    Distributed: cells are labeled by ops.cell_components_df, then each
+    component fills its own holes in applyInPandas (the reference's
+    HoleClose likewise operates per polygonized boundary feature).  A
+    cavity jointly enclosed by several disjoint components is not a
+    hole of any single polygon and stays open — matching the
+    per-feature reference semantics.
     """
-    pdf = cells.select("gx", "gy").toPandas()
-    if pdf.empty:
-        return cells.sparkSession.createDataFrame(pdf, "gx long, gy long")
-    occ = {(int(a), int(b)) for a, b in zip(pdf["gx"], pdf["gy"])}
-    x0, x1 = pdf["gx"].min() - 1, pdf["gx"].max() + 1
-    y0, y1 = pdf["gy"].min() - 1, pdf["gy"].max() + 1
-    comp = [
-        (x, y)
-        for x in range(x0, x1 + 1)
-        for y in range(y0, y1 + 1)
-        if (x, y) not in occ
-    ]
-    carr = np.array(comp, dtype=np.int64)
-    labels = geom.cell_components(carr[:, 0], carr[:, 1])
-    fill = []
-    for lab in np.unique(labels):
-        m = labels == lab
-        grp = carr[m]
-        touches_border = (
-            (grp[:, 0] == x0).any()
-            or (grp[:, 0] == x1).any()
-            or (grp[:, 1] == y0).any()
-            or (grp[:, 1] == y1).any()
-        )
-        if not touches_border and m.sum() <= max_hole_cells:
-            fill.append(grp)
-    out = pdf
-    if fill:
-        extra = pd.DataFrame(np.vstack(fill), columns=["gx", "gy"])
-        out = pd.concat([pdf, extra], ignore_index=True)
-    return cells.sparkSession.createDataFrame(out, "gx long, gy long")
+    labeled = ops.cell_components_df(cells.select("gx", "gy")).withColumnRenamed(
+        "comp", "boundary_id"
+    )
+    return _hole_close_grouped(labeled, max_hole_cells).select("gx", "gy")
 
 
 # ---------------------------------------------------------------------------
@@ -528,14 +582,10 @@ def gap_fix(boundary_cells: DataFrame) -> DataFrame:
     patches produced independently per partition get re-labeled by a
     global connected-components pass, so clusters touching across a
     partition border merge into one boundary id."""
-    pdf = boundary_cells.select("gx", "gy").distinct().toPandas()
-    spark = boundary_cells.sparkSession
-    if pdf.empty:
-        return spark.createDataFrame(pdf.assign(boundary_id=[]), "gx long, gy long, boundary_id long")
-    labels = geom.cell_components(pdf["gx"].to_numpy(), pdf["gy"].to_numpy())
-    pdf["boundary_id"] = labels
-    merged = spark.createDataFrame(pdf, "gx long, gy long, boundary_id long")
-    return boundary_cells.join(F.broadcast(merged), ["gx", "gy"], "inner")
+    labels = ops.cell_components_df(boundary_cells.select("gx", "gy")).withColumnRenamed(
+        "comp", "boundary_id"
+    )
+    return boundary_cells.join(labels, ["gx", "gy"], "inner")
 
 
 def edge_catch(
@@ -555,32 +605,51 @@ def edge_catch(
     k = int(np.ceil(max_dist / cell_size))
     spark = boundary_cells.sparkSession
 
-    pdf = boundary_cells.toPandas()
-    out_parts = [pdf]
-    for cid, grp in pdf.groupby("cluster_id"):
-        occ = {(int(a), int(b)) for a, b in zip(grp["gx"], grp["gy"])}
-        cand = set()
-        for (x, y) in occ:
-            for dx in range(-k, k + 1):
-                for dy in range(-k, k + 1):
-                    if (x + dx, y + dy) not in occ:
-                        cand.add((x + dx, y + dy))
-        if not cand:
-            continue
-        carr = np.array(sorted(cand), dtype=np.float64)
-        cxs = (carr[:, 0] + 0.5) * cell_size
-        cys = (carr[:, 1] + 0.5) * cell_size
-        near = np.full(carr.shape[0], np.inf)
-        for s in segs:
-            _fx, _fy, d = geom.perp_foot(cxs, cys, s[0], s[1], s[2], s[3])
-            near = np.minimum(near, d)
-        annex = carr[near <= cell_size].astype(np.int64)
-        if annex.shape[0]:
-            out_parts.append(
-                pd.DataFrame({"gx": annex[:, 0], "gy": annex[:, 1], "cluster_id": cid})
-            )
-    merged = pd.concat(out_parts, ignore_index=True).drop_duplicates()
-    return spark.createDataFrame(merged, "gx long, gy long, cluster_id long")
+    # Road cells: every cell whose center is within cell_size of a road
+    # segment (same geom.perp_foot criterion as the per-cluster scan
+    # this replaces).  Computed once from the roads table — with a
+    # DataFrame roads input this becomes a distributed rasterize; the
+    # pandas input here mirrors the reference's per-partition road
+    # subset, which is broadcast-small.
+    road_cells: set[tuple[int, int]] = set()
+    for x1, y1, x2, y2 in segs:
+        gx0 = int(np.floor((min(x1, x2) - cell_size) / cell_size))
+        gx1 = int(np.floor((max(x1, x2) + cell_size) / cell_size))
+        gy0 = int(np.floor((min(y1, y2) - cell_size) / cell_size))
+        gy1 = int(np.floor((max(y1, y2) + cell_size) / cell_size))
+        gxx, gyy = np.meshgrid(np.arange(gx0, gx1 + 1), np.arange(gy0, gy1 + 1))
+        gxx, gyy = gxx.ravel(), gyy.ravel()
+        _fx, _fy, d = geom.perp_foot(
+            (gxx + 0.5) * cell_size, (gyy + 0.5) * cell_size, x1, y1, x2, y2
+        )
+        near = d <= cell_size
+        road_cells.update(zip(gxx[near].tolist(), gyy[near].tolist()))
+    if not road_cells:
+        return boundary_cells.select("gx", "gy", "cluster_id").distinct()
+    road_df = spark.createDataFrame(
+        pd.DataFrame(sorted(road_cells), columns=["gx", "gy"]), "gx long, gy long"
+    )
+
+    # candidates: k-ring dilation per cluster minus the cluster's own
+    # cells — shuffle ∝ boundary cells × ring size, aggregated by
+    # distinct before the road join
+    offs = k_ring_offsets(k)
+    off_arr = F.array(
+        *[F.struct(F.lit(int(dx)).alias("dx"), F.lit(int(dy)).alias("dy")) for dx, dy in offs]
+    )
+    base = boundary_cells.select("gx", "gy", "cluster_id")
+    cand = (
+        base.withColumn("o", F.explode(off_arr))
+        .select(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+            "cluster_id",
+        )
+        .distinct()
+        .join(base, ["gx", "gy", "cluster_id"], "left_anti")
+    )
+    annexed = cand.join(F.broadcast(road_df), ["gx", "gy"], "left_semi")
+    return base.unionByName(annexed).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -615,37 +684,15 @@ def cluster_cells(
 
 
 def _hole_close_grouped(cells: DataFrame, max_hole_cells: int = 64) -> DataFrame:
-    """hole_close applied per boundary_id via applyInPandas."""
+    """hole_close applied per boundary_id via applyInPandas (vectorized
+    dense-grid flood per group — see _fill_holes_np)."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         bid = int(pdf["boundary_id"].iloc[0])
-        occ = {(int(a), int(b)) for a, b in zip(pdf["gx"], pdf["gy"])}
-        x0, x1 = pdf["gx"].min() - 1, pdf["gx"].max() + 1
-        y0, y1 = pdf["gy"].min() - 1, pdf["gy"].max() + 1
-        comp = [
-            (x, y)
-            for x in range(x0, x1 + 1)
-            for y in range(y0, y1 + 1)
-            if (x, y) not in occ
-        ]
-        carr = np.array(comp, dtype=np.int64)
-        labels = geom.cell_components(carr[:, 0], carr[:, 1])
-        fill = list(occ)
-        for lab in np.unique(labels):
-            m = labels == lab
-            grp = carr[m]
-            touches = (
-                (grp[:, 0] == x0).any()
-                or (grp[:, 0] == x1).any()
-                or (grp[:, 1] == y0).any()
-                or (grp[:, 1] == y1).any()
-            )
-            if not touches and m.sum() <= max_hole_cells:
-                fill.extend((int(a), int(b)) for a, b in grp)
-        fill = sorted(set(fill))
-        return pd.DataFrame(
-            {"gx": [c[0] for c in fill], "gy": [c[1] for c in fill], "boundary_id": bid}
+        filled = _fill_holes_np(
+            pdf["gx"].to_numpy(np.int64), pdf["gy"].to_numpy(np.int64), max_hole_cells
         )
+        return pd.DataFrame({"gx": filled[:, 0], "gy": filled[:, 1], "boundary_id": bid})
 
     return cells.select("gx", "gy", "boundary_id").groupBy("boundary_id").applyInPandas(
         run, "gx long, gy long, boundary_id long"
@@ -678,10 +725,12 @@ def full_delineation(
     b = b.filter(filter_predicate(F.col("fkt"), list(synth.POS_FKT)) & (F.col("area") >= 35.0))
 
     cent_pts = b.select("bid", F.col("cx").alias("x"), F.col("cy").alias("y"))
-    parts = density_partitions(
+    parts = density_partitions_df(
         cent_pts.withColumn("image_id", F.col("bid").cast("string")), 150.0, 300.0, 1e-5
     )
-    bp = assign_partitions(b.withColumn("x", F.col("cx")).withColumn("y", F.col("cy")), parts, 150.0)
+    bp = assign_partitions_df(
+        b.withColumn("x", F.col("cx")).withColumn("y", F.col("cy")), parts, 150.0
+    )
     bp = bp.filter(F.col("part_name").isNotNull()).withColumnRenamed("part_name", "part")
 
     roads = synth.roads_pdf()[["rid", "line"]] if use_roads else None

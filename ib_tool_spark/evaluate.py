@@ -62,6 +62,15 @@ def boundary_cells_df(spark, polygons: list[list[np.ndarray]], cell_size: float)
     return spark.createDataFrame(pdf, "gx long, gy long")
 
 
+def _any_prefix(col, prefixes: tuple[str, ...]):
+    """OR of startswith over every prefix (the reference's IndCom
+    land-use test covers all configured funktion prefixes)."""
+    pred = F.lit(False)
+    for p in prefixes:
+        pred = pred | col.startswith(p)
+    return pred
+
+
 def classify_symdiff(
     computed: DataFrame,
     expert: DataFrame,
@@ -87,26 +96,36 @@ def classify_symdiff(
     sym = merged.filter(F.col("in_c") != F.col("in_e")).select(
         "gx", "gy", F.when(F.col("in_c") == 1, F.lit("POS")).otherwise(F.lit("NEG")).alias("sign")
     )
-    sym_pdf = sym.toPandas()
-    if sym_pdf.empty:
+    # patches = connected components per sign — distributed CC (the
+    # symdiff cell set is unbounded at scale); only the patch-id map
+    # (one row per patch — output-scale) is collected, preserving the
+    # original lexicographic patch numbering
+    from . import ops
+
+    sym = sym.persist()
+    labeled_parts = []
+    for sign in ("NEG", "POS"):
+        part = sym.filter(F.col("sign") == sign).select("gx", "gy")
+        labeled_parts.append(
+            ops.cell_components_df(part).withColumn("sign", F.lit(sign))
+        )
+    labeled = labeled_parts[0].unionByName(labeled_parts[1]).withColumn(
+        "patch", F.concat(F.col("sign"), F.lit("_"), F.col("comp").cast("string"))
+    )
+    patch_names = [r.patch for r in labeled.select("patch").distinct().collect()]
+    if not patch_names:
         return spark.createDataFrame(
             [],
             "patch_id long, sign string, n_cells long, area double, n_buildings long, "
             "coverage_pct double, error_class string",
         )
-    # patches = connected components per sign (driver-side: symdiff of
-    # aggregated cells is small relative to the data)
-    patches = []
-    for sign, grp in sym_pdf.groupby("sign"):
-        labels = geom.cell_components(grp["gx"].to_numpy(), grp["gy"].to_numpy())
-        g = grp.copy()
-        g["patch"] = [f"{sign}_{v}" for v in labels]
-        patches.append(g)
-    patch_pdf = pd.concat(patches, ignore_index=True)
-    patch_ids = {p: i for i, p in enumerate(sorted(patch_pdf["patch"].unique()))}
-    patch_pdf["patch_id"] = patch_pdf["patch"].map(patch_ids)
-    cells_df = spark.createDataFrame(
-        patch_pdf[["gx", "gy", "sign", "patch_id"]], "gx long, gy long, sign string, patch_id long"
+    patch_ids = {p: i for i, p in enumerate(sorted(patch_names))}
+    id_map = spark.createDataFrame(
+        pd.DataFrame({"patch": list(patch_ids), "patch_id": list(patch_ids.values())}),
+        "patch string, patch_id long",
+    )
+    cells_df = labeled.join(F.broadcast(id_map), "patch", "inner").select(
+        "gx", "gy", "sign", "patch_id"
     )
 
     b = buildings.withColumn("gx", F.floor(F.col("cx") / F.lit(cell_size)).cast("long")).withColumn(
@@ -120,7 +139,7 @@ def classify_symdiff(
         F.sum(
             F.when(
                 F.col("fkt").isNotNull()
-                & F.col("fkt").startswith(indcom_fkt_prefixes[0]),
+                & _any_prefix(F.col("fkt"), indcom_fkt_prefixes),
                 1,
             ).otherwise(0)
         ).alias("n_indcom"),

@@ -614,3 +614,127 @@ def polygon_tile_clip(
                     }
                 )
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components over sparse cell sets
+# ---------------------------------------------------------------------------
+
+_CC_OFF = 1 << 30  # cell coords live in (-2^30, 2^30)
+
+
+def _cc_key_np(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """int64 cell key whose numeric order == lexicographic (gx, gy)."""
+    return (gx.astype(np.int64) + _CC_OFF) * np.int64(1 << 31) + (
+        gy.astype(np.int64) + _CC_OFF
+    )
+
+
+def cell_components_df(cells: DataFrame, super_size: int = 256) -> DataFrame:
+    """Distributed 4-connected component labeling of a cell set.
+
+    Input: (gx, gy) rows (duplicates tolerated).  Output: (gx, gy, comp)
+    where ``comp`` is the rank of the component's lexicographically
+    smallest (gx, gy) member — bit-identical to geom.cell_components'
+    stable relabel, so driver-side call sites can switch over without
+    changing any output.
+
+    Plan (the 100 TB shape — replaces the reference's single-process
+    dissolve and our round-1 ``toPandas()`` collects):
+      1. local CC per ``super_size``² super-cell via applyInPandas —
+         each group is bounded (≤ super_size² cells), work is
+         parallel across super-cells;
+      2. cross-border adjacency = two shifted equi-joins restricted to
+         super-cell border cells (shuffle ∝ border cells, not cells);
+      3. union-find over the *distinct component-adjacency pairs* on
+         the driver — output-scale (components touching a border), not
+         data-scale;
+      4. global relabel by dense_rank over the distinct component keys
+         (a components-sized DataFrame, single small sort).
+    """
+    from pyspark.sql import Window
+
+    spark = cells.sparkSession
+    S = int(super_size)
+    c = (
+        cells.select("gx", "gy")
+        .distinct()
+        .withColumn("sx", F.floor(F.col("gx") / F.lit(S)))
+        .withColumn("sy", F.floor(F.col("gy") / F.lit(S)))
+    )
+
+    def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import geom
+
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        labels = geom.cell_components(gx, gy)
+        key = _cc_key_np(gx, gy)
+        # provisional component key = min cell key within the local comp
+        comp = pd.Series(key).groupby(labels).transform("min").to_numpy()
+        return pd.DataFrame({"gx": gx, "gy": gy, "comp": comp})
+
+    labeled = c.groupBy("sx", "sy").applyInPandas(local_cc, "gx long, gy long, comp long")
+    labeled = labeled.persist()
+
+    # 4-connectivity across super-cell borders: east (gx+1) and north
+    # (gy+1) neighbor pairs where the neighbor falls in the next
+    # super-cell.  pmod keeps the border test correct for negative
+    # coordinates.
+    base = labeled.select("gx", "gy", "comp")
+    east = base.filter(F.pmod(F.col("gx"), F.lit(S)) == S - 1).select(
+        (F.col("gx") + 1).alias("gx"), "gy", F.col("comp").alias("comp_a")
+    )
+    north = base.filter(F.pmod(F.col("gy"), F.lit(S)) == S - 1).select(
+        "gx", (F.col("gy") + 1).alias("gy"), F.col("comp").alias("comp_a")
+    )
+    pairs = (
+        east.join(base, ["gx", "gy"], "inner")
+        .select("comp_a", F.col("comp").alias("comp_b"))
+        .unionByName(
+            north.join(base, ["gx", "gy"], "inner").select(
+                "comp_a", F.col("comp").alias("comp_b")
+            )
+        )
+        .filter(F.col("comp_a") != F.col("comp_b"))
+        .distinct()
+    )
+    edge_rows = pairs.collect()  # output-scale: component adjacencies only
+
+    # union-by-min over provisional keys so every root is the global
+    # min cell key of its merged component
+    parent: dict[int, int] = {}
+
+    def find(k: int) -> int:
+        r = k
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(k, k) != k:
+            parent[k], k = r, parent[k]
+        return r
+
+    for row in edge_rows:
+        ra, rb = find(row.comp_a), find(row.comp_b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    remap = [(k, find(k)) for k in list(parent)]
+    if remap:
+        map_df = spark.createDataFrame(remap, "comp long, root long")
+        merged = labeled.join(F.broadcast(map_df), "comp", "left").select(
+            "gx", "gy", F.coalesce("root", "comp").alias("comp")
+        )
+    else:
+        merged = labeled.select("gx", "gy", "comp")
+
+    # stable relabel (rank of min member) — one window over the
+    # components-sized distinct-key table
+    ranks = (
+        merged.select("comp")
+        .distinct()
+        .withColumn("label", (F.dense_rank().over(Window.orderBy("comp")) - 1).cast("long"))
+    )
+    return merged.join(F.broadcast(ranks), "comp", "inner").select("gx", "gy", "label").withColumnRenamed(
+        "label", "comp"
+    )
