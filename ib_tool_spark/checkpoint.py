@@ -131,24 +131,33 @@ def flagship_checkpointed(
     scene = synth.default_scene()
     ck = StageCheckpoint(spark, root)
 
+    # Fingerprints chain: every stage embeds its input stage's
+    # fingerprint plus a content digest of the scene (seed + polygon
+    # rings), so changing the scene or any upstream parameter
+    # invalidates every downstream snapshot — never a stale resume.
+    scene_fp = f"seed={synth.SCENE_SEED}:polys={ops._polygons_digest(scene.polygons)}"
+
+    fp1 = f"synth:n={n_images}:{scene_fp}"
     images = ck.stage(
         "s1_images",
-        f"synth:n={n_images}:seed={synth.SCENE_SEED}",
+        fp1,
         lambda: synth.synth_images_df(spark, n_images),
     )
+    fp2 = f"geocode+cell:res={cell_res}:in=[{fp1}]"
     points = ck.stage(
         "s2_points_cells",
-        f"geocode+cell:res={cell_res}:n={n_images}",
+        fp2,
         lambda: ops.with_cell(ops.with_geocode(images.select("image_id"), scene), cell_res),
     )
+    fp3 = f"pip:res={cell_res}:{scene_fp}:in=[{fp2}]"
     joined = ck.stage(
         "s3_pip",
-        f"pip:res={cell_res}:polys={len(scene.polygons)}:n={n_images}",
+        fp3,
         lambda: ops.pip_join(points, scene.polygons, cell_res),
     )
     tiled = ck.stage(
         "s4_tiles",
-        f"tile:res={tile_res}:n={n_images}",
+        f"tile:res={tile_res}:in=[{fp3}]",
         lambda: ops.tile_assign(joined, cell_res, tile_res).select(
             "image_id", "x", "y", "cell", "tile", "sid"
         ),

@@ -35,12 +35,58 @@ def ring_area(ring: np.ndarray) -> float:
 
 
 def polygon_area(rings: list[np.ndarray]) -> float:
-    """Even-odd polygon area: |outer| minus holes (uses |signed| per ring)."""
+    """Even-odd polygon area, orientation-independent: each ring is
+    signed by its containment depth (even depth adds, odd subtracts),
+    so disjoint multi-outer sets and nested islands measure correctly —
+    not just the single-outer+holes layout.  Depth is sampled at a ring
+    vertex; a ring sharing its sample vertex with an enclosing ring
+    (degenerate clipped geometry) reads as depth 0, which matches the
+    even-odd measure assigning zero-width contacts no area.
+    """
     if not rings:
         return 0.0
-    areas = [ring_area(r) for r in rings]
-    outer = abs(areas[0])
-    return outer - sum(abs(a) for a in areas[1:])
+    rs = [np.asarray(r, dtype=np.float64) for r in rings]
+    if len(rs) == 1:
+        return abs(ring_area(rs[0]))
+    total = 0.0
+    for i, r in enumerate(rs):
+        others = [o for j, o in enumerate(rs) if j != i]
+        p = _off_boundary_sample(r, others)
+        depth = sum(
+            1 for o in others if bool(points_in_polygon(p[:1], p[1:], [o])[0])
+        )
+        total += abs(ring_area(r)) * (1.0 if depth % 2 == 0 else -1.0)
+    return total
+
+
+def _point_on_ring(px: float, py: float, ring: np.ndarray) -> bool:
+    """Exact point-on-boundary test (zero tolerance — coincident
+    geometry from clipping shares exact float coordinates)."""
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    on = (
+        (cross == 0.0)
+        & (px >= np.minimum(x1, x2))
+        & (px <= np.maximum(x1, x2))
+        & (py >= np.minimum(y1, y2))
+        & (py <= np.maximum(y1, y2))
+    )
+    return bool(on.any())
+
+
+def _off_boundary_sample(ring: np.ndarray, others: list[np.ndarray]) -> np.ndarray:
+    """A point of ``ring`` (vertex or edge midpoint) not lying on any
+    other ring's boundary — makes the containment-depth test in
+    polygon_area well-defined for clipped pieces that share window
+    edges.  Falls back to the first vertex (zero-area contact)."""
+    candidates = [ring[k] for k in range(ring.shape[0])]
+    mids = (ring + np.roll(ring, -1, axis=0)) * 0.5
+    candidates += [mids[k] for k in range(mids.shape[0])]
+    for p in candidates:
+        if not any(_point_on_ring(float(p[0]), float(p[1]), o) for o in others):
+            return np.asarray(p, dtype=np.float64)
+    return np.asarray(ring[0], dtype=np.float64)
 
 
 def ring_length(ring: np.ndarray, closed: bool = True) -> float:

@@ -139,6 +139,21 @@ def polygon_cover_pdf(polygons: list[tuple[int, str, list[np.ndarray]]], res: in
 
 
 _COVER_CACHE: dict = {}
+_COVER_CACHE_MAX = 8
+
+
+def _polygons_digest(polygons) -> str:
+    """Content digest of a polygon set (sid + ring coordinates).  Used
+    as the cover-cache key: id()-based keys can silently alias after
+    garbage collection reuses an address."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for sid, _name, rings in polygons:
+        h.update(str(int(sid)).encode())
+        for r in rings:
+            h.update(np.ascontiguousarray(np.asarray(r, dtype=np.float64)).tobytes())
+    return h.hexdigest()
 
 
 def _cover_with_edges_pdf(polygons, res, grid) -> pd.DataFrame:
@@ -180,6 +195,14 @@ def _sql_inside_expr():
     point to the cell center properly crosses an odd number of the
     cell's local edges).  Equivalent to ray crossing for points in
     general position; zero Python, stays inside whole-stage codegen.
+
+    Degenerate-input caveat: only PROPER crossings count (strict
+    inequalities), so a point exactly on a polygon edge, or whose
+    point-to-center segment passes through a polygon vertex, can
+    classify differently from refine='pandas' (points_in_polygon's
+    half-open-in-y rule).  Exact-parity gates over grid-aligned inputs
+    must either use refine='pandas' on both sides or keep test points
+    off polygon boundaries — the synth scene guarantees the latter.
     """
     x, y, cpx, cpy = F.col("x"), F.col("y"), F.col("cpx"), F.col("cpy")
 
@@ -220,10 +243,18 @@ def pip_join(
     matching NO polygon (INVERT selections, IB-Tool2.py:818-823).
     """
     spark = points.sparkSession
-    ckey = (id(polygons), len(polygons), res, grid, refine)
+    ckey = (_polygons_digest(polygons), res, grid, refine, id(spark))
     if ckey in _COVER_CACHE:
         cover, bc = _COVER_CACHE[ckey]
     else:
+        while len(_COVER_CACHE) >= _COVER_CACHE_MAX:
+            _old_key = next(iter(_COVER_CACHE))
+            _old_cover, _old_bc = _COVER_CACHE.pop(_old_key)
+            if _old_bc is not None:
+                try:
+                    _old_bc.unpersist()
+                except Exception:
+                    pass
         if refine == "sql":
             cover = spark.createDataFrame(
                 _cover_with_edges_pdf(polygons, res, grid), _COVER_EDGES_SCHEMA

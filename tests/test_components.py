@@ -88,3 +88,29 @@ def test_gap_fix_million_cells_distributed(spark):
     ).collect()[0]
     assert agg.n == n
     assert agg.n_comp == 1
+
+
+def test_cover_cache_content_keyed(spark):
+    # regression: two different polygon lists with identical length/res
+    # must NOT share a cache entry (the old id()-based key could alias
+    # after garbage collection)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ib_tool_spark import geom, ops
+
+    pts = spark.createDataFrame(
+        [(float(x), 5.0) for x in range(0, 100, 5)], "x double, y double"
+    )
+    pts = ops.with_cell(pts.withColumn("pid", F.monotonically_increasing_id()), 10)
+
+    poly_a = [(0, "A", [geom.rect_ring(10.0, 5.0, 20.0, 20.0, 0.0).tolist()])]
+    poly_b = [(0, "B", [geom.rect_ring(80.0, 5.0, 20.0, 20.0, 0.0).tolist()])]
+    rows_a = ops.pip_join(pts, poly_a, 10).count()
+    rows_b = ops.pip_join(pts, poly_b, 10).count()
+    assert rows_a > 0 and rows_b > 0
+    xs_a = {r.x for r in ops.pip_join(pts, poly_a, 10).collect()}
+    xs_b = {r.x for r in ops.pip_join(pts, poly_b, 10).collect()}
+    assert xs_a != xs_b
+    assert all(0.0 <= x <= 20.0 for x in xs_a)
+    assert all(70.0 <= x <= 90.0 for x in xs_b)

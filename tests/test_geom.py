@@ -187,3 +187,19 @@ def test_polygon_tile_clip_partitions_area():
             r = np.asarray(ring)
             assert (r[:, 0] >= ix[0] * cs - 1e-9).all() and (r[:, 0] <= (ix[0] + 1) * cs + 1e-9).all()
             assert (r[:, 1] >= iy[0] * cs - 1e-9).all() and (r[:, 1] <= (iy[0] + 1) * cs + 1e-9).all()
+
+
+def test_polygon_area_multi_outer_and_nested():
+    # two disjoint outers: areas add (old formula subtracted)
+    two = [
+        geom.rect_ring(0.0, 0.0, 10.0, 10.0, 0.0),
+        geom.rect_ring(100.0, 0.0, 4.0, 4.0, 0.0),
+    ]
+    assert geom.polygon_area(two) == 116.0
+    # nested island: outer - hole + island
+    nested = [
+        geom.rect_ring(0.0, 0.0, 20.0, 20.0, 0.0),   # depth 0: +400
+        geom.rect_ring(0.0, 0.0, 10.0, 10.0, 0.0),   # depth 1: -100
+        geom.rect_ring(0.0, 0.0, 4.0, 4.0, 0.0),     # depth 2: +16
+    ]
+    assert geom.polygon_area(nested) == 316.0
