@@ -455,6 +455,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g_hex_density"] = g_hex_density
 
+    def g_overlay_pairwise(spark, sf_dir):
+        # U2-U4/J12-J14 exact boolean kernel (Martinez–Rueda) on
+        # deterministic axis-aligned box pairs; the oracle is
+        # closed-form interval arithmetic — any kernel area error
+        # hash-mismatches
+        _ship(spark)
+        import pandas as pd
+
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 19 == 0)
+        c = lambda e: e.cast("double")  # noqa: E731
+        sel = o.select(
+            "o_orderkey",
+            c(F.col("o_orderkey") * 13 % 1000).alias("ax0"),
+            c(F.col("o_custkey") * 7 % 1000).alias("ay0"),
+            c(F.lit(20) + F.col("o_orderkey") % 120).alias("aw"),
+            c(F.lit(20) + F.col("o_custkey") % 120).alias("ah"),
+            c(F.col("o_orderkey") * 29 % 1000).alias("bx0"),
+            c(F.col("o_custkey") * 31 % 1000).alias("by0"),
+            c(F.lit(20) + F.col("o_orderkey") * 3 % 120).alias("bw"),
+            c(F.lit(20) + F.col("o_custkey") * 5 % 120).alias("bh"),
+        )
+
+        def kernel(it):
+            import numpy as np
+
+            from ib_tool_spark import geom as G
+            from ib_tool_spark.boolean import polygon_boolean
+
+            def box(x0, y0, w, h):
+                return [
+                    np.array(
+                        [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]],
+                        dtype=np.float64,
+                    )
+                ]
+
+            def area(rr):
+                return G.polygon_area(rr) if rr else 0.0
+
+            for pdf in it:
+                rows = []
+                for r in pdf.itertuples():
+                    A = box(r.ax0, r.ay0, r.aw, r.ah)
+                    B = box(r.bx0, r.by0, r.bw, r.bh)
+                    rows.append(
+                        {
+                            "o_orderkey": int(r.o_orderkey),
+                            "inter_area": int(round(area(polygon_boolean(A, B, "and")))),
+                            "erase_area": int(round(area(polygon_boolean(A, B, "not")))),
+                            "xor_area": int(round(area(polygon_boolean(A, B, "xor")))),
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["o_orderkey", "inter_area", "erase_area", "xor_area"]
+                )
+
+        return sel.mapInPandas(
+            kernel, "o_orderkey long, inter_area long, erase_area long, xor_area long"
+        )
+
+    q["g_overlay_pairwise"] = g_overlay_pairwise
+
+    def g_overlay_erase_join(spark, sf_dir):
+        # exact Erase_analysis as a distributed overlay join: left boxes
+        # (orders) minus ALL overlapping right boxes (suppliers on a
+        # disjoint 100-lattice, so the oracle can sum pairwise overlaps)
+        _ship(spark)
+        from ib_tool_spark import ops
+
+        d = lambda e: e.cast("double")  # noqa: E731
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+        lx0 = d(F.col("o_orderkey") * 37 % 4200)
+        ly0 = d(F.col("o_custkey") * 53 % 4200)
+        lw = d(F.lit(50) + F.col("o_orderkey") % 251)
+        lh = d(F.lit(50) + F.col("o_custkey") % 251)
+        left = o.select(
+            F.col("o_orderkey").alias("id"),
+            F.array(
+                F.array(
+                    F.array(lx0, ly0),
+                    F.array(lx0 + lw, ly0),
+                    F.array(lx0 + lw, ly0 + lh),
+                    F.array(lx0, ly0 + lh),
+                )
+            ).alias("rings"),
+        )
+        s = _t(spark, sf_dir, "supplier")
+        rx0 = d(F.col("s_suppkey") % 43 * 100 + 5)
+        ry0 = d(F.floor(F.col("s_suppkey") / 43) * 100 + 5)
+        rw = d(F.lit(10) + F.col("s_suppkey") * 11 % 80)
+        rh = d(F.lit(10) + F.col("s_suppkey") * 13 % 80)
+        right = s.select(
+            F.col("s_suppkey").alias("id"),
+            F.array(
+                F.array(
+                    F.array(rx0, ry0),
+                    F.array(rx0 + rw, ry0),
+                    F.array(rx0 + rw, ry0 + rh),
+                    F.array(rx0, ry0 + rh),
+                )
+            ).alias("rings"),
+        )
+        return ops.overlay_erase(left, right, cell=512.0).select(
+            F.col("lid").alias("o_orderkey"),
+            F.round("area").cast("long").alias("erase_area"),
+        )
+
+    q["g_overlay_erase_join"] = g_overlay_erase_join
+
     # ---- training-data ops: documents ----
 
     def t_dedup_exact(spark, sf_dir):
@@ -1024,6 +1133,62 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT pid, px AS x, py AS y, center_id AS nearest_id, sqrt(d2) AS nearest_dist
       FROM ranked WHERE rn = 1
+    """
+
+    o["g_overlay_pairwise"] = """
+      WITH p AS (
+        SELECT o_orderkey,
+               CAST((o_orderkey*13) % 1000 AS BIGINT) AS ax0,
+               CAST((o_custkey*7) % 1000 AS BIGINT) AS ay0,
+               CAST(20 + o_orderkey % 120 AS BIGINT) AS aw,
+               CAST(20 + o_custkey % 120 AS BIGINT) AS ah,
+               CAST((o_orderkey*29) % 1000 AS BIGINT) AS bx0,
+               CAST((o_custkey*31) % 1000 AS BIGINT) AS by0,
+               CAST(20 + (o_orderkey*3) % 120 AS BIGINT) AS bw,
+               CAST(20 + (o_custkey*5) % 120 AS BIGINT) AS bh
+        FROM orders WHERE o_orderkey % 19 = 0
+      ),
+      q AS (
+        SELECT *,
+               GREATEST(0, LEAST(ax0+aw, bx0+bw) - GREATEST(ax0, bx0))
+             * GREATEST(0, LEAST(ay0+ah, by0+bh) - GREATEST(ay0, by0)) AS inter
+        FROM p
+      )
+      SELECT o_orderkey,
+             CAST(inter AS BIGINT) AS inter_area,
+             CAST(aw*ah - inter AS BIGINT) AS erase_area,
+             CAST(aw*ah + bw*bh - 2*inter AS BIGINT) AS xor_area
+      FROM q
+    """
+
+    o["g_overlay_erase_join"] = """
+      WITH l AS (
+        SELECT o_orderkey AS lid,
+               CAST((o_orderkey*37) % 4200 AS BIGINT) AS x0,
+               CAST((o_custkey*53) % 4200 AS BIGINT) AS y0,
+               CAST(50 + o_orderkey % 251 AS BIGINT) AS w,
+               CAST(50 + o_custkey % 251 AS BIGINT) AS h
+        FROM orders WHERE o_orderkey % 97 = 0
+      ),
+      r AS (
+        SELECT CAST((s_suppkey % 43) * 100 + 5 AS BIGINT) AS x0,
+               CAST((s_suppkey // 43) * 100 + 5 AS BIGINT) AS y0,
+               CAST(10 + (s_suppkey*11) % 80 AS BIGINT) AS w,
+               CAST(10 + (s_suppkey*13) % 80 AS BIGINT) AS h
+        FROM supplier
+      ),
+      ov AS (
+        SELECT lid,
+               CAST(SUM(GREATEST(0, LEAST(l.x0+l.w, r.x0+r.w) - GREATEST(l.x0, r.x0))
+                      * GREATEST(0, LEAST(l.y0+l.h, r.y0+r.h) - GREATEST(l.y0, r.y0))) AS BIGINT) AS cut
+        FROM l JOIN r
+          ON l.x0 < r.x0 + r.w AND r.x0 < l.x0 + l.w
+         AND l.y0 < r.y0 + r.h AND r.y0 < l.y0 + l.h
+        GROUP BY lid
+      )
+      SELECT l.lid AS o_orderkey,
+             CAST(l.w*l.h - COALESCE(ov.cut, 0) AS BIGINT) AS erase_area
+      FROM l LEFT JOIN ov ON l.lid = ov.lid
     """
 
     # ---- documents / embeddings ----

@@ -769,3 +769,172 @@ def cell_components_df(cells: DataFrame, super_size: int = 256) -> DataFrame:
     return merged.join(F.broadcast(ranks), "comp", "inner").select("gx", "gy", "label").withColumnRenamed(
         "label", "comp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact polygon overlay joins (J12 Intersect / J14+U4 Erase / U2 SymDiff)
+# ---------------------------------------------------------------------------
+
+_OVERLAY_RINGS = "array<array<array<double>>>"
+
+
+def _with_bbox_cells(polys: DataFrame, cell: float, prefix: str) -> DataFrame:
+    """Attach exploded coarse-cell keys covering each polygon's bbox —
+    pure Column math (flatten + transform + sequence), no Python."""
+    flat = F.flatten(F.col("rings"))
+    xs = F.transform(flat, lambda p: F.element_at(p, 1))
+    ys = F.transform(flat, lambda p: F.element_at(p, 2))
+    out = (
+        polys.withColumn("__minx", F.array_min(xs))
+        .withColumn("__maxx", F.array_max(xs))
+        .withColumn("__miny", F.array_min(ys))
+        .withColumn("__maxy", F.array_max(ys))
+        .withColumn(
+            "gx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__minx") / F.lit(cell)),
+                    F.floor(F.col("__maxx") / F.lit(cell)),
+                )
+            ),
+        )
+        .withColumn(
+            "gy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__miny") / F.lit(cell)),
+                    F.floor(F.col("__maxy") / F.lit(cell)),
+                )
+            ),
+        )
+        .drop("__minx", "__maxx", "__miny", "__maxy")
+    )
+    return out.select(
+        F.col("id").alias(f"{prefix}id"), F.col("rings").alias(f"{prefix}rings"), "gx", "gy"
+    )
+
+
+def _overlay_pairs(left: DataFrame, right: DataFrame, cell: float) -> DataFrame:
+    """Candidate polygon pairs whose bbox cells overlap: (lid, l_rings,
+    rid, r_rings), deduplicated.  The shuffle moves one row per
+    (polygon, covered coarse cell) — candidate-then-refine, same shape
+    as pip_join.
+
+    The ring payloads are attached AFTER the (lid, rid) dedup by plain
+    id joins: aggregating a deeply nested array column (first/collect)
+    produces corrupt Arrow buffers that segfault the grouped-UDF
+    deserializer in this Spark/pyarrow combination, and id joins also
+    keep the pair shuffle narrow."""
+    lc = _with_bbox_cells(left.select("id", "rings"), cell, "l").select("lid", "gx", "gy")
+    rc = _with_bbox_cells(right.select("id", "rings"), cell, "r").select("rid", "gx", "gy")
+    ids = lc.join(rc, ["gx", "gy"], "inner").select("lid", "rid").distinct()
+    return (
+        ids.join(left.select(F.col("id").alias("lid"), F.col("rings").alias("l_rings")), "lid")
+        .join(right.select(F.col("id").alias("rid"), F.col("rings").alias("r_rings")), "rid")
+    )
+
+
+def _np_rings(obj) -> list:
+    return [np.vstack([np.asarray(p, dtype=np.float64) for p in ring]) for ring in obj]
+
+
+def overlay_intersect_join(left: DataFrame, right: DataFrame, cell: float = 256.0) -> DataFrame:
+    """Exact geometric intersection join (Intersect_analysis,
+    IB-Tool2.py:664, 2085, 2153): one row per intersecting (lid, rid)
+    pair with the clipped even-odd rings and exact area.  Candidate
+    pairs come from the coarse-cell bbox join; the Martinez–Rueda
+    kernel refines each pair."""
+    from . import boolean, geom
+
+    pairs = _overlay_pairs(left, right, cell)
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                out = boolean.polygon_boolean(_np_rings(r.l_rings), _np_rings(r.r_rings), "and")
+                if out:
+                    a = geom.polygon_area(out)
+                    if a > 0.0:
+                        rows.append(
+                            {
+                                "lid": r.lid,
+                                "rid": r.rid,
+                                "rings": [x.tolist() for x in out],
+                                "area": a,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["lid", "rid", "rings", "area"])
+
+    return pairs.mapInPandas(
+        run, f"lid long, rid long, rings {_OVERLAY_RINGS}, area double"
+    )
+
+
+def overlay_erase(left: DataFrame, right: DataFrame, cell: float = 256.0) -> DataFrame:
+    """Exact geometric erase (Erase_analysis, IB-Tool2.py:1873-74):
+    each left polygon minus ALL overlapping right polygons (folded
+    difference, deterministic rid order).  Left polygons with no
+    candidate pair pass through unchanged.  Output: (lid, rings, area);
+    fully-erased polygons emit area=0 with empty rings."""
+    from . import boolean, geom
+
+    pairs = _overlay_pairs(left, right, cell)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        lid = int(pdf["lid"].iloc[0])
+        subject = _np_rings(pdf["l_rings"].iloc[0])
+        clips = sorted(
+            ((int(r.rid), _np_rings(r.r_rings)) for r in pdf.itertuples()),
+            key=lambda t: t[0],
+        )
+        out = subject
+        for _rid, clip in clips:
+            if not out:
+                break
+            out = boolean.polygon_boolean(out, clip, "not")
+        area = geom.polygon_area(out) if out else 0.0
+        return pd.DataFrame(
+            {"lid": [lid], "rings": [[x.tolist() for x in out]], "area": [area]}
+        )
+
+    erased = pairs.groupBy("lid").applyInPandas(
+        run, f"lid long, rings {_OVERLAY_RINGS}, area double"
+    )
+
+    # left features with no candidate pair pass through with their area
+    def passthrough(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                rr = _np_rings(r.rings)
+                rows.append(
+                    {
+                        "lid": int(r.id),
+                        "rings": [x.tolist() for x in rr],
+                        "area": geom.polygon_area(rr),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["lid", "rings", "area"])
+
+    untouched = (
+        left.join(pairs.select("lid").distinct(), left["id"] == F.col("lid"), "left_anti")
+        .select("id", "rings")
+        .mapInPandas(passthrough, f"lid long, rings {_OVERLAY_RINGS}, area double")
+    )
+    return erased.unionByName(untouched)
+
+
+def overlay_symdiff(left: DataFrame, right: DataFrame, cell: float = 256.0) -> DataFrame:
+    """Exact symmetric difference between two polygon layers
+    (SymDiff_analysis, IB-Tool2.py:1844, 2156;
+    Error_Classification.py:258): (left erase right) ⊎ (right erase
+    left), each surviving feature tagged by side.  Output: (side, fid,
+    rings, area) with area > 0 rows only."""
+    a = overlay_erase(left, right, cell).withColumn("side", F.lit("LEFT"))
+    b = overlay_erase(right, left, cell).withColumn("side", F.lit("RIGHT"))
+    return (
+        a.unionByName(b)
+        .filter(F.col("area") > 0.0)
+        .select("side", F.col("lid").alias("fid"), "rings", "area")
+    )
