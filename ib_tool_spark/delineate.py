@@ -182,13 +182,26 @@ def _mst_cluster_kernel(
     max_edge: float,
     road_segs: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
-    """Greedy MST clustering of one partition's buildings.
+    """Greedy MST clustering of one partition's buildings —
+    the reference's MST_Clustering walk (IB-Tool2.py:1459-1646):
 
-    Reference semantics (IB-Tool2.py:1459-1646): walk MST edges
-    shortest-first; merge the two groups if the merged group's
-    Σ(footprint area) / oriented-MBR area × 100 stays above the
-    coverage threshold.  Deterministic: edges ordered by (weight,
-    src bid, dst bid); cluster_id = min bid of the group.
+    - MST edges (Kruskal over the road-pruned Delaunay graph, weights =
+      min building-to-building vertex distance) walked shortest-first;
+    - accept rule: Σ(footprint area) / MainAngle-oriented-rectangle
+      area × 100 > threshold, with the rectangle from
+      geom.main_angle_rect — the reference's CalcBoundingRect math
+      (IB-Tool2.py:426-642), NOT min-area calipers (they pick different
+      rectangles for many footprint sets; the reference accept rule is
+      authoritative here, SURVEY.md:217);
+    - group bookkeeping mirrors the reference: a new footprint joins an
+      existing endpoint group (groups never merge pairwise); on
+      rejection the bare pair is retried as a fresh 2-group, which can
+      reassign an already-grouped footprint (last assignment wins).
+
+    Deterministic: edges ordered by (weight, src bid, dst bid) — the
+    reference's tie order is its arcpy FID order, which has no
+    equivalent here, so ties are pinned explicitly.  cluster_id =
+    min bid of the (final) group; ungrouped buildings stay singletons.
     """
     n = len(pdf)
     part = pdf["part"].iloc[0] if n else ""
@@ -212,34 +225,61 @@ def _mst_cluster_kernel(
     )
     keep = w <= max_edge
     d_edges, w = d_edges[keep], w[keep]
-    order = np.lexsort((d_edges[:, 1], d_edges[:, 0], w))
+    if d_edges.shape[0] == 0:
+        return pd.DataFrame({"bid": bids, "cluster_id": bids, "part": part})
+    ewd = np.column_stack([d_edges.astype(np.float64), w])
+    mst_idx = geom.kruskal_mst(n, ewd)
+    mst = ewd[mst_idx]
+    order = np.lexsort((mst[:, 1], mst[:, 0], mst[:, 2]))
 
-    uf = geom.UnionFind(n)
-    members: dict[int, list[int]] = {i: [i] for i in range(n)}
+    segs_by_i = [geom.ring_segments(r) for r in rings]
+    member_group: dict[int, int] = {}
+    group_members: dict[int, list[int]] = {}
+    gnum = 0
+
+    def rect_ratio(cand: list[int], area_sum: float) -> float:
+        segs = np.vstack([segs_by_i[i] for i in cand])
+        _c, rect_area = geom.main_angle_rect(segs)
+        if rect_area is None:
+            return 0.0  # ≤4 segments: reference emits no rectangle
+        return area_sum / rect_area * 100.0
+
     for ei in order:
-        a, b = int(d_edges[ei, 0]), int(d_edges[ei, 1])
-        ra, rb = uf.find(a), uf.find(b)
-        if ra == rb:
-            continue
-        cand = members[ra] + members[rb]
-        pts = np.vstack([rings[i] for i in cand])
-        _c, mbr_area, _ang = geom.oriented_mbr(pts)
-        if mbr_area <= 0:
-            cov = 100.0
-        else:
-            cov = areas[cand].sum() / mbr_area * 100.0
-        if cov > coverage_thresh:
-            uf.union(ra, rb)
-            r = uf.find(ra)
-            members[r] = cand
-            if r != ra:
-                members.pop(ra, None)
-            if r != rb:
-                members.pop(rb, None)
-    roots = np.array([uf.find(i) for i in range(n)])
-    cluster_ids = np.array([bids[members[r][0]] for r in roots])
-    # stable id: min bid within the cluster
-    cluster_ids = np.array([bids[np.array(members[uf.find(i)])].min() for i in range(n)])
+        a, b = int(mst[ei, 0]), int(mst[ei, 1])
+        groupestatus = False
+        grouped = a in member_group or b in member_group
+        if grouped:
+            if a in member_group:
+                gid, new = member_group[a], b
+            else:
+                gid, new = member_group[b], a
+            # reference extends the member list unconditionally — a
+            # footprint already in the group is counted twice, exactly
+            # as IB-Tool2.py:1578-1580 does
+            cand = group_members[gid] + [new]
+            ratio = rect_ratio(cand, float(sum(areas[i] for i in cand)))
+            if ratio > coverage_thresh:
+                group_members[gid] = cand
+                member_group[new] = gid
+                groupestatus = True
+        if not grouped or not groupestatus:
+            ratio = rect_ratio([a, b], float(areas[a] + areas[b]))
+            if ratio > coverage_thresh:
+                member_group[a] = gnum
+                member_group[b] = gnum
+                group_members[gnum] = [a, b]
+                gnum += 1
+
+    # final assignment: member_group (last write wins, like the
+    # reference's dict); cluster id = min bid over the group's members
+    cluster_ids = bids.copy()
+    by_group: dict[int, list[int]] = {}
+    for i, g in member_group.items():
+        by_group.setdefault(g, []).append(i)
+    for g, members in by_group.items():
+        cid = int(bids[np.asarray(members)].min())
+        for i in members:
+            cluster_ids[i] = cid
     return pd.DataFrame({"bid": bids, "cluster_id": cluster_ids, "part": part})
 
 

@@ -743,3 +743,135 @@ def clip_polygon_rect(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[n
         if c.shape[0] >= 3 and abs(ring_area(c)) > 1e-9:
             out.append(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MainAngle oriented rectangle (G11 — CalcBoundingRect/MainAngle,
+# IB-Tool2.py:426-642). This is the accept-rule geometry of the
+# reference's MST_Clustering and must match its math exactly, including
+# its quirks (documented inline), because the coverage ratio it yields
+# decides which footprints merge into one settlement cluster.
+# ---------------------------------------------------------------------------
+
+
+def ring_segments(ring: np.ndarray) -> np.ndarray:
+    """Outline segments of a closed ring as (N, 5): x1, y1, x2, y2,
+    length — the SplitLine + AddXY + Shape_Length row layout the
+    reference feeds CalcBoundingRect (HUtoLineXY, IB-Tool2.py:396-423).
+    """
+    a = np.asarray(ring, dtype=np.float64)
+    b = np.roll(a, -1, axis=0)
+    seg_len = np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1])
+    return np.column_stack([a, b, seg_len])
+
+
+def segment_angles_deg(segs: np.ndarray) -> np.ndarray:
+    """Angle of each segment vs the +x axis in [0, 180] degrees —
+    VectorAngle(seg, horizontal probe) semantics (IB-Tool2.py:515-557):
+    arccos of the normalized dot with east, mirrored to 180−θ when the
+    segment's dy ≤ 0 (so a +x horizontal segment reads 180.0, a −x one
+    reads 0.0 — the reference's exact convention)."""
+    dx = segs[:, 2] - segs[:, 0]
+    dy = segs[:, 3] - segs[:, 1]
+    norm = np.hypot(dx, dy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cosv = np.clip(dx / norm, -1.0, 1.0)
+    ang = np.degrees(np.arccos(cosv))
+    return np.where(dy <= 0, 180.0 - ang, ang)
+
+
+def main_angle(angles: np.ndarray, lengths: np.ndarray, maxdiff: float = 10.0) -> float:
+    """The dominant edge angle (MainAngle, IB-Tool2.py:441-472):
+    chain-group the angle-sorted segments (new group when the gap to
+    the PREVIOUS segment ≥ maxdiff), take the group with the largest
+    total length, then pick the angle at the index given by the argmax
+    of the per-run length sums — replicated exactly, including the
+    reference's quirk that the final run's sum is never appended and
+    the run-index is used as an element index."""
+    order = np.argsort(angles, kind="stable")
+    a_sorted = angles[order]
+    l_sorted = lengths[order]
+    # chain grouping
+    groups: list[list[int]] = [[0]]
+    for i in range(1, a_sorted.shape[0]):
+        if abs(a_sorted[i] - a_sorted[groups[-1][-1]]) < maxdiff:
+            groups[-1].append(i)
+        else:
+            groups.append([i])
+    sums = [float(l_sorted[g].sum()) for g in groups]
+    lg = groups[int(np.argmax(sums))]
+    # per-run (equal consecutive angle) length sums, last run dropped
+    s = 0.0
+    g1 = a_sorted[lg[0]]
+    lengthsum: list[float] = []
+    for idx in lg:
+        if g1 == a_sorted[idx]:
+            s += float(l_sorted[idx])
+        else:
+            lengthsum.append(s)
+            s = float(l_sorted[idx])
+        g1 = a_sorted[idx]
+    if not lengthsum:
+        lengthsum.append(s)
+    return float(a_sorted[lg[int(np.argmax(lengthsum))]])
+
+
+def main_angle_rect(segs: np.ndarray) -> tuple["np.ndarray | None", "float | None"]:
+    """Oriented bounding rectangle by dominant edge angle
+    (CalcBoundingRect "list" path, IB-Tool2.py:570-642): project the
+    segment START points onto a long baseline at the MainAngle through
+    an offset anchor, take the extreme perpendicular distances and
+    extreme foot positions, scale the four corner points, and measure
+    the rectangle.  Returns (corners (4,2), area); (None, None) when
+    ≤ 4 segments (the reference emits no rectangle then).  A degenerate
+    zero-area rectangle reports 1e12 like the reference's guard."""
+    segs = np.asarray(segs, dtype=np.float64)
+    if segs.shape[0] <= 4:
+        return None, None
+    angles = np.round(segment_angles_deg(segs), 1)  # "list" path rounds to 0.1°
+    lengths = segs[:, 4]
+    ang = main_angle(angles, lengths, 10.0)
+    px_pts = segs[:, 0]
+    py_pts = segs[:, 1]
+
+    ymin = float(py_pts[int(np.argmin(py_pts))])
+    xmax = float(px_pts[int(np.argmax(px_pts))])
+    xmin = float(px_pts[int(np.argmin(px_pts))])
+    py1 = ymin
+    px1 = xmax + 10000.0 if ang > 90.0 else xmin - 10000.0
+    px2 = px1 + 10000.0 * np.cos(np.radians(ang))
+    py2 = py1 + 10000.0 * np.sin(np.radians(ang))
+
+    # NearPoint (IB-Tool2.py:492-513): perpendicular distance and foot
+    # on the infinite baseline, vectorized over all start points
+    dxl, dyl = px2 - px1, py2 - py1
+    m = np.hypot(dxl, dyl)
+    d = np.abs(dxl * (py1 - py_pts) - dyl * (px1 - px_pts)) / m
+    ux, uy = dxl / m, dyl / m
+    proj = ux * (px_pts - px1) + uy * (py_pts - py1)
+    fx = ux * proj + px1
+    fy = uy * proj + py1
+
+    ai = int(np.argmin(d))
+    bi = int(np.argmax(d))
+    ci = int(np.argmin(fy))
+    di = int(np.argmax(fy))
+    a_d = d[ai]
+    b_d = d[bi]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c2x = fx[ci] + (px_pts[ci] - fx[ci]) * b_d / d[ci]
+        c2y = fy[ci] + (py_pts[ci] - fy[ci]) * b_d / d[ci]
+        d2x = fx[di] + (px_pts[di] - fx[di]) * b_d / d[di]
+        d2y = fy[di] + (py_pts[di] - fy[di]) * b_d / d[di]
+        d1x = fx[di] + (px_pts[di] - fx[di]) * a_d / d[di]
+        d1y = fy[di] + (py_pts[di] - fy[di]) * a_d / d[di]
+        c1x = fx[ci] + (px_pts[ci] - fx[ci]) * a_d / d[ci]
+        c1y = fy[ci] + (py_pts[ci] - fy[ci]) * a_d / d[ci]
+    area = float(
+        np.sqrt(abs(c1x - c2x) ** 2 + abs(c1y - c2y) ** 2)
+        * np.sqrt(abs(d2x - c2x) ** 2 + abs(d2y - c2y) ** 2)
+    )
+    corners = np.array([[c1x, c1y], [c2x, c2y], [d2x, d2y], [d1x, d1y]])
+    if area == 0.0:
+        area = 1e12  # reference's division-by-zero guard value
+    return corners, area

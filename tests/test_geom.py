@@ -1,6 +1,7 @@
 """Geometry kernels vs hand-computed / brute-force oracles."""
 
 import numpy as np
+import pytest
 
 from ib_tool_spark import geom
 
@@ -203,3 +204,68 @@ def test_polygon_area_multi_outer_and_nested():
         geom.rect_ring(0.0, 0.0, 4.0, 4.0, 0.0),     # depth 2: +16
     ]
     assert geom.polygon_area(nested) == 316.0
+
+
+def test_main_angle_rect_axis_pair():
+    # two axis-aligned squares: MainAngle rect == axis bbox, exactly
+    r1 = geom.rect_ring(5, 5, 10, 10, 0.0)
+    r2 = geom.rect_ring(25, 5, 10, 10, 0.0)
+    segs = np.vstack([geom.ring_segments(r1), geom.ring_segments(r2)])
+    corners, area = geom.main_angle_rect(segs)
+    assert area == pytest.approx(300.0)
+    want = {(0.0, 0.0), (30.0, 0.0), (30.0, 10.0), (0.0, 10.0)}
+    got = {(round(c[0], 6), round(c[1], 6)) for c in corners}
+    assert got == want
+
+
+def test_main_angle_rect_four_or_fewer_segments():
+    segs = geom.ring_segments(geom.rect_ring(0, 0, 10, 10, 0.0))
+    corners, area = geom.main_angle_rect(segs)
+    assert corners is None and area is None
+
+
+def test_main_angle_disagrees_with_calipers():
+    # VERDICT round-1 #3 done-criterion: a footprint set where min-area
+    # calipers and the reference's MainAngle math pick DIFFERENT
+    # rectangles; the engine must produce the MainAngle result.
+    # Construction: a small axis-aligned square plus a long thin 45°
+    # sliver. Dominant edge length is along 45°, so MainAngle = 45 and
+    # the oriented rect is diagonal (larger area than calipers, which
+    # may find a tighter orientation).
+    import numpy as np
+
+    sq = geom.rect_ring(0.0, 0.0, 10.0, 10.0, 0.0)       # perimeter 40
+    sliver = geom.rect_ring(30.0, 30.0, 60.0, 2.0, np.pi / 4)  # 120 along 45°
+    segs = np.vstack([geom.ring_segments(sq), geom.ring_segments(sliver)])
+    angles = np.round(geom.segment_angles_deg(segs), 1)
+    # the dominant angle group by total length is 45°
+    corners, ma_area = geom.main_angle_rect(segs)
+    pts = np.vstack([sq, sliver])
+    _c, cal_area, _ang = geom.oriented_mbr(pts)
+    # calipers and MainAngle must disagree on this fixture...
+    assert abs(ma_area - cal_area) > 1e-6 * cal_area
+    # ...and the MainAngle rectangle must (a) be oriented at 45° and
+    # (b) cover every input vertex
+    e = corners[1] - corners[0]
+    ang_deg = np.degrees(np.arctan2(abs(e[1]), abs(e[0])))
+    assert ang_deg == pytest.approx(45.0, abs=0.5)
+    inside = geom.points_in_polygon(pts[:, 0], pts[:, 1], [corners])
+    # vertices may sit exactly ON the rect boundary; test with a tiny
+    # inward shrink of the point cloud toward its centroid instead
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    shrunk = pts * 0.999 + np.array([cx, cy]) * 0.001
+    assert geom.points_in_polygon(shrunk[:, 0], shrunk[:, 1], [corners]).all()
+
+
+def test_main_angle_grouping_quirks():
+    # the reference keeps per-run sums with the LAST run dropped unless
+    # it is the only one — pin that exact behavior
+    angles = np.array([10.0, 10.0, 12.0, 12.0, 12.0])
+    lengths = np.array([5.0, 5.0, 1.0, 1.0, 1.0])
+    # one chain group (gaps < 10); runs: [10.0 x2 sum=10], [12.0 x3 sum=3 — dropped]
+    # lengthsum=[10] → argmax=0 → element 0 → angle 10.0
+    assert geom.main_angle(angles, lengths, 10.0) == 10.0
+    # two far-apart groups: pick the longer-total group
+    angles2 = np.array([0.0, 0.0, 90.0, 90.0, 90.0])
+    lengths2 = np.array([10.0, 10.0, 5.0, 5.0, 5.0])
+    assert geom.main_angle(angles2, lengths2, 10.0) == 0.0
