@@ -567,9 +567,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- training-data ops: documents ----
 
     def t_dedup_exact(spark, sf_dir):
+        # group on (xxhash64(text), length(text)) instead of the raw
+        # text so the shuffle carries 16 bytes per row, not the full
+        # document (the 100 TB shape); same groups barring a 64-bit
+        # hash collision at equal length
         d = _t(spark, sf_dir, "documents")
         return (
-            d.groupBy("text")
+            d.groupBy(F.xxhash64("text").alias("__h"), F.length("text").alias("__len"))
             .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
             .select("keeper", "n_copies")
         )

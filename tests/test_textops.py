@@ -154,3 +154,32 @@ def test_ivf_full_probe_matches_bruteforce(spark):
     part = textops.ivf_topk(assigned, C, q, k=10, n_probe=3).toPandas()
     recall = len(set(part["vec_id"]) & set(pdf["vec_id"].to_numpy()[order])) / 10
     assert recall >= 0.5, recall
+
+
+def test_lsh_degenerate_corpus_bounded(spark):
+    # VERDICT round-1 done-criterion: 1k identical docs must complete
+    # with a bounded candidate-pair count (hot buckets dropped), not
+    # the ~500k pairs an uncapped bucket self-join would emit.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = 1000
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": ["the same boilerplate text appears in every document here"] * n,
+            }
+        )
+    )
+    pairs = textops.minhash_near_dups(docs, tau=0.5)
+    assert pairs.count() == 0  # every band bucket exceeded the cap
+
+    # with the cap raised above the corpus size the pairs come back
+    sigs = textops.minhash_signatures(textops.doc_shingles(docs), 32)
+    some = textops.lsh_candidate_pairs(sigs, 8, 4, max_bucket=2000).limit(5).count()
+    assert some == 5
+
+    # simhash path with degenerate corpus is likewise bounded
+    sd = textops.simhash_near_dups(docs, max_hamming=8)
+    assert sd.count() == 0
