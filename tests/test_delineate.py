@@ -146,3 +146,41 @@ def test_cluster_boundaries_contain_buildings(spark, buildings):
         mine = cents[cents["cluster_id"] == row.cluster_id]
         inside = geom.points_in_polygon(mine["cx"].to_numpy(), mine["cy"].to_numpy(), rings)
         assert inside.all()
+
+
+def test_mst_cluster_5000_buildings_under_10s(spark):
+    # VERDICT round-1 done-criterion for the vectorized Delaunay kernel:
+    # a single 5k-building partition must cluster in < 10 s wall.
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = []
+    # 5000 buildings in a realistic clumped layout (50 hamlets x 100)
+    for h in range(50):
+        hx, hy = rng.uniform(0, 20000, 2)
+        for i in range(100):
+            cx = hx + rng.uniform(-300, 300)
+            cy = hy + rng.uniform(-300, 300)
+            ring = geom.rect_ring(cx, cy, 12.0, 9.0, rng.uniform(0, 3.14))
+            rows.append(
+                {
+                    "bid": h * 100 + i,
+                    "rings": [ring.tolist()],
+                    "cx": float(np.mean(ring[:, 0])),
+                    "cy": float(np.mean(ring[:, 1])),
+                    "area": abs(geom.ring_area(ring)),
+                    "part": "P0",
+                }
+            )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "bid long, rings array<array<array<double>>>, cx double, cy double, area double, part string",
+    )
+    t0 = time.time()
+    out = delineate.mst_cluster(df, coverage_thresh=12.0, max_edge=60.0).toPandas()
+    wall = time.time() - t0
+    assert len(out) == 5000
+    assert out["cluster_id"].nunique() < 5000  # clustering actually happened
+    assert wall < 10.0, wall
