@@ -568,6 +568,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g_overlay_erase_join"] = g_overlay_erase_join
 
+    def geo_blocker_grid(spark, sf_dir):
+        # C-Blocker exact (planar-arrangement polygonize): a rectangle
+        # partition crossed by a full road grid must yield the grid
+        # blocks with closed-form areas and per-block point counts
+        _ship(spark)
+        import pandas as pd
+
+        from ib_tool_spark import delineate, geom
+
+        pts = _pts_df(spark, sf_dir)
+        b = pts.select(
+            (F.col("px") * F.lit(0.06)).alias("cx"),
+            (F.col("py") * F.lit(0.02)).alias("cy"),
+            F.lit("P0").alias("part"),
+        )
+        parts = pd.DataFrame(
+            {"part": ["P0"], "rings": [[geom.rect_ring(3000.0, 1000.0, 6000.0, 2000.0, 0.0).tolist()]]}
+        )
+        roads = pd.DataFrame(
+            [
+                {"rid": 0, "line": [[2000.0, -100.0], [2000.0, 2100.0]]},
+                {"rid": 1, "line": [[4000.0, -100.0], [4000.0, 2100.0]]},
+                {"rid": 2, "line": [[-100.0, 1000.0], [6100.0, 1000.0]]},
+            ]
+        )
+        out = delineate.blocker(b, parts, roads)
+        flat = F.flatten(F.col("rings"))
+        xs = F.transform(flat, lambda p: F.element_at(p, 1))
+        ys = F.transform(flat, lambda p: F.element_at(p, 2))
+        return out.select(
+            F.floor(F.array_min(xs) / F.lit(2000.0)).cast("long").alias("bx"),
+            F.floor(F.array_min(ys) / F.lit(1000.0)).cast("long").alias("by"),
+            F.round("area").cast("long").alias("area_m2"),
+            F.col("n_buildings"),
+        )
+
+    q["geo_blocker_grid"] = geo_blocker_grid
+
     # ---- training-data ops: documents ----
 
     def t_dedup_exact(spark, sf_dir):
@@ -1359,6 +1397,16 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT doc_id, {_acc} AS simhash FROM votes
         """
+
+    o["geo_blocker_grid"] = f"""
+      WITH pts AS ({_PTS_SQL}),
+      b AS (SELECT px * 0.06 AS cx, py * 0.02 AS cy FROM pts)
+      SELECT CAST(FLOOR(cx / 2000.0) AS BIGINT) AS bx,
+             CAST(FLOOR(cy / 1000.0) AS BIGINT) AS by,
+             CAST(2000000 AS BIGINT) AS area_m2,
+             COUNT(*) AS n_buildings
+      FROM b GROUP BY 1, 2
+    """
 
     # t_winnow_fp: the full winnowing pipeline in SQL — k-gram rolling
     # hashes via HUGEINT power-basis sums mod 2^64, window minima via a

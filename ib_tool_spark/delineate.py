@@ -803,3 +803,98 @@ def full_delineation(
         )
         .orderBy("boundary_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocker (IB-Tool2.py:645-681): partition outline + road lines →
+# polygonize → city blocks; blocks without buildings are dropped.
+# Round 1 substituted cell-boundary tracing; this is the exact
+# planar-arrangement version built on geom.polygonize.
+# ---------------------------------------------------------------------------
+
+BLOCK_SCHEMA = (
+    "part string, block_id long, rings array<array<array<double>>>, "
+    "area double, n_buildings long"
+)
+
+
+def _blocker_kernel(
+    part: str,
+    part_rings: list[np.ndarray],
+    road_segs: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+) -> list[dict]:
+    """One partition's blocks: polygonize(outline ∪ roads), keep faces
+    inside the partition, count buildings per face, drop empty."""
+    minx, miny, maxx, maxy = geom.rings_bbox(part_rings)
+    segs = [geom._rings_edges(part_rings)]
+    if road_segs.shape[0]:
+        m = (
+            (np.maximum(road_segs[:, 0], road_segs[:, 2]) >= minx)
+            & (np.minimum(road_segs[:, 0], road_segs[:, 2]) <= maxx)
+            & (np.maximum(road_segs[:, 1], road_segs[:, 3]) >= miny)
+            & (np.minimum(road_segs[:, 1], road_segs[:, 3]) <= maxy)
+        )
+        if m.any():
+            segs.append(road_segs[m, :4])
+    faces = geom.polygonize(np.vstack(segs))
+    out = []
+    for face in faces:
+        px, py = geom.centroid_inside([face[0]])
+        if not bool(
+            geom.points_in_polygon(np.array([px]), np.array([py]), part_rings)[0]
+        ):
+            continue  # face outside the partition (road overshoot)
+        inside = geom.points_in_polygon(bx, by, face)
+        n = int(inside.sum())
+        if n == 0:
+            continue  # Blocker drops building-less blocks (IB-Tool2.py:670-72)
+        out.append(
+            {
+                "part": part,
+                "rings": [r.tolist() for r in face],
+                "area": geom.polygon_area(face),
+                "n_buildings": n,
+                "_anchor": (float(face[0][:, 0].min()), float(face[0][:, 1].min())),
+            }
+        )
+    # deterministic block ids: ascending (min x, min y) of the outer ring
+    out.sort(key=lambda d: d["_anchor"])
+    for k, d in enumerate(out):
+        d["block_id"] = k
+        d.pop("_anchor")
+    return out
+
+
+def blocker(
+    buildings: DataFrame,  # (cx, cy, part)
+    partitions: pd.DataFrame,  # (part, rings) — one polygon per partition
+    roads: "pd.DataFrame | None" = None,  # (rid, line) polylines
+) -> DataFrame:
+    """Exact Blocker: per-partition city blocks from the planar
+    arrangement of the partition outline and the road network, with
+    building-less blocks dropped.  applyInPandas per partition — the
+    same per-partition scope as the reference's Blocker calls."""
+    road_segs = (
+        _road_segments_pdf(roads)[:, :4] if roads is not None else np.empty((0, 4))
+    )
+    part_map = {
+        str(r.part): [np.asarray(x, dtype=np.float64) for x in r.rings]
+        for r in partitions.itertuples()
+    }
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = str(pdf["part"].iloc[0])
+        rings = part_map.get(part)
+        cols = ["part", "block_id", "rings", "area", "n_buildings"]
+        if rings is None:
+            return pd.DataFrame(columns=cols)
+        rows = _blocker_kernel(
+            part, rings, road_segs, pdf["cx"].to_numpy(np.float64), pdf["cy"].to_numpy(np.float64)
+        )
+        return pd.DataFrame(rows, columns=cols)
+
+    return buildings.select("cx", "cy", "part").groupBy("part").applyInPandas(
+        run, BLOCK_SCHEMA
+    )

@@ -59,18 +59,20 @@ def polygon_area(rings: list[np.ndarray]) -> float:
     return total
 
 
-def _point_on_ring(px: float, py: float, ring: np.ndarray) -> bool:
-    """Exact point-on-boundary test (zero tolerance — coincident
-    geometry from clipping shares exact float coordinates)."""
+def _point_on_ring(px: float, py: float, ring: np.ndarray, tol: float = 0.0) -> bool:
+    """Point-on-boundary test.  tol=0 is the exact form (coincident
+    geometry from clipping shares exact float coordinates); callers
+    comparing rings whose midpoints were computed through different
+    float expression trees pass a small cross-product tolerance."""
     x1, y1 = ring[:, 0], ring[:, 1]
     x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
     cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
     on = (
-        (cross == 0.0)
-        & (px >= np.minimum(x1, x2))
-        & (px <= np.maximum(x1, x2))
-        & (py >= np.minimum(y1, y2))
-        & (py <= np.maximum(y1, y2))
+        (np.abs(cross) <= tol)
+        & (px >= np.minimum(x1, x2) - tol)
+        & (px <= np.maximum(x1, x2) + tol)
+        & (py >= np.minimum(y1, y2) - tol)
+        & (py <= np.maximum(y1, y2) + tol)
     )
     return bool(on.any())
 
@@ -916,3 +918,211 @@ def main_angle_rect(segs: np.ndarray) -> tuple["np.ndarray | None", "float | Non
     if area == 0.0:
         area = 1e12  # reference's division-by-zero guard value
     return corners, area
+
+
+# ---------------------------------------------------------------------------
+# Planar-arrangement polygonize (G7 — FeatureToPolygon,
+# IB-Tool2.py:666, 1018, 1726, 2069, 2167; Partitioning.pyt:108).
+# Node all input segments at their intersections, build the half-edge
+# rotation system, trace minimal faces.  Per-partition scope (the
+# reference polygonizes one partition's roads/outlines at a time).
+# ---------------------------------------------------------------------------
+
+
+def _polygonize_nodes(segments: np.ndarray, snap: float) -> list[tuple[int, int]]:
+    """Split segments at all pairwise intersections (snap-rounded) and
+    return unique undirected subsegment node-key pairs."""
+    from .boolean import _find_intersections
+
+    def snapped(v: float) -> float:
+        return round(v / snap) * snap
+
+    S = segments.shape[0]
+    minx = np.minimum(segments[:, 0], segments[:, 2])
+    maxx = np.maximum(segments[:, 0], segments[:, 2])
+    miny = np.minimum(segments[:, 1], segments[:, 3])
+    maxy = np.maximum(segments[:, 1], segments[:, 3])
+    cuts: list[list[tuple[float, float]]] = [
+        [(segments[i, 0], segments[i, 1]), (segments[i, 2], segments[i, 3])] for i in range(S)
+    ]
+    for i in range(S):
+        # bbox prefilter keeps the pair scan near-linear for sparse nets
+        cand = np.nonzero(
+            (minx <= maxx[i]) & (maxx >= minx[i]) & (miny <= maxy[i]) & (maxy >= miny[i])
+        )[0]
+        for j in cand:
+            if j <= i:
+                continue
+            for px, py in _find_intersections(tuple(segments[i]), tuple(segments[j])):
+                cuts[i].append((px, py))
+                cuts[j].append((px, py))
+    out = set()
+    for i in range(S):
+        x1, y1, x2, y2 = segments[i]
+        dx, dy = x2 - x1, y2 - y1
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            continue
+        pts = sorted(
+            {(snapped(px), snapped(py)) for px, py in cuts[i]},
+            key=lambda p: ((p[0] - x1) * dx + (p[1] - y1) * dy),
+        )
+        for a, b in zip(pts, pts[1:]):
+            if a != b:
+                out.add((a, b) if a < b else (b, a))
+    return sorted(out)
+
+
+def polygonize(segments: np.ndarray, snap: float = 1e-6) -> list[list[np.ndarray]]:
+    """Faces of the planar arrangement of ``segments`` ((S,4) float64)
+    → list of polygons, each an even-odd ring list (outer CCW ring
+    first, contained hole cycles appended).  Dangling edges (not on any
+    cycle) vanish naturally: their two directed twins trace a
+    degenerate back-and-forth walk with zero area.
+    """
+    segs = np.asarray(segments, dtype=np.float64)
+    if segs.shape[0] == 0:
+        return []
+    subsegs = _polygonize_nodes(segs, snap)
+    if not subsegs:
+        return []
+    # node table
+    nodes: dict[tuple[float, float], int] = {}
+    for a, b in subsegs:
+        for p in (a, b):
+            if p not in nodes:
+                nodes[p] = len(nodes)
+    coords = np.array([p for p, _i in sorted(nodes.items(), key=lambda kv: kv[1])])
+    # directed half-edges
+    he_from: list[int] = []
+    he_to: list[int] = []
+    for a, b in subsegs:
+        ia, ib = nodes[a], nodes[b]
+        he_from += [ia, ib]
+        he_to += [ib, ia]
+    he_from_arr = np.array(he_from)
+    he_to_arr = np.array(he_to)
+    ang = np.arctan2(
+        coords[he_to_arr, 1] - coords[he_from_arr, 1],
+        coords[he_to_arr, 0] - coords[he_from_arr, 0],
+    )
+    n_he = he_from_arr.shape[0]
+    twin = np.arange(n_he) ^ 1
+    # rotation: outgoing half-edges per node, sorted CCW by angle
+    order = np.lexsort((ang, he_from_arr))
+    pos_in_rot = np.empty(n_he, dtype=np.int64)
+    rot_of: list[np.ndarray] = []
+    starts: dict[int, tuple[int, int]] = {}
+    i = 0
+    while i < n_he:
+        j = i
+        node = he_from_arr[order[i]]
+        while j < n_he and he_from_arr[order[j]] == node:
+            j += 1
+        starts[int(node)] = (i, j)
+        for k in range(i, j):
+            pos_in_rot[order[k]] = k
+        i = j
+    # next(h): at the head of h, take the rotation predecessor of twin
+    # (clockwise-next) — traces faces with interior on the LEFT
+    nxt = np.empty(n_he, dtype=np.int64)
+    for h in range(n_he):
+        t = twin[h]
+        node = int(he_from_arr[t])
+        s, e = starts[node]
+        p = pos_in_rot[t]
+        q = e - 1 if p == s else p - 1
+        nxt[h] = order[q]
+    # trace cycles
+    seen = np.zeros(n_he, dtype=bool)
+    cycles: list[np.ndarray] = []
+    for h0 in range(n_he):
+        if seen[h0]:
+            continue
+        cyc = []
+        h = h0
+        while not seen[h]:
+            seen[h] = True
+            cyc.append(int(he_from_arr[h]))
+            h = int(nxt[h])
+        ring = coords[np.array(cyc)]
+        if ring.shape[0] >= 3:
+            cycles.append(ring)
+    pos = [(r, ring_area(r)) for r in cycles]
+    faces = [(r, a) for r, a in pos if a > 1e-12]
+    holes = [(r, a) for r, a in pos if a < -1e-12]
+    # assign hole cycles (negative = traced clockwise around a cavity)
+    # to the smallest positive face STRICTLY containing them; a cycle
+    # coincident with a face boundary (the unbounded face's twin of the
+    # outermost outline) is inside nothing and is dropped
+    def strictly_inside(hr: np.ndarray, fr: np.ndarray) -> bool:
+        # tolerance absorbs the ulp noise between midpoints computed as
+        # (a+b)/2 here and the face edges' own parameterization
+        scale = float(np.abs(np.vstack([hr, fr])).max()) + 1.0
+        tol = 1e-9 * scale * scale
+        mids = (hr + np.roll(hr, -1, axis=0)) * 0.5
+        for p in list(hr) + list(mids):
+            if not _point_on_ring(float(p[0]), float(p[1]), fr, tol=tol):
+                return bool(points_in_polygon(p[:1], p[1:], [fr])[0])
+        return False
+
+    out: list[list[np.ndarray]] = [[r] for r, _a in faces]
+    for hr, _ha in holes:
+        best, best_area = None, np.inf
+        for k, (fr, fa) in enumerate(faces):
+            if fa < best_area and strictly_inside(hr, fr):
+                best, best_area = k, fa
+        if best is not None:
+            out[best].append(hr)
+    return out
+
+
+def repair_geometry(rings: list[np.ndarray], snap: float = 1e-6) -> list[np.ndarray]:
+    """Self-intersection repair (G15 — RepairGeometry,
+    IB-Tool2.py:1724, 1740, 1859, 2502): node the ring edges at their
+    self-intersections, polygonize the arrangement, and keep the faces
+    whose interior is covered under the even-odd reading of the
+    original ring set.  A simple valid input comes back unchanged in
+    content (possibly re-traced); a bowtie splits into its two lobes;
+    overlapping ring pairs dissolve into their even-odd region.
+    """
+    rs = [coerce_ring(r) for r in rings if len(r) >= 3]
+    if not rs:
+        return []
+    faces = polygonize(_rings_edges(rs), snap)
+    out: list[np.ndarray] = []
+    for face in faces:
+        # parity sample must be INTERIOR to the face — every face
+        # vertex/edge lies on the original (self-intersecting) boundary
+        px, py = centroid_inside([face[0]])
+        p = np.array([px, py])
+        if bool(points_in_polygon(p[:1], p[1:], rs)[0]):
+            out.extend(face)
+    return out
+
+
+def centroid_inside(rings: list[np.ndarray]) -> tuple[float, float]:
+    """FeatureToPoint "INSIDE" (G2 — IB-Tool2.py:795, 1239, 1522): the
+    area centroid when it falls inside the polygon, else the midpoint
+    of the widest even-odd-inside span on the horizontal scanline
+    through the centroid (arcpy's inside-snap behavior for concave or
+    holey footprints)."""
+    rs = [coerce_ring(r) for r in rings]
+    cx, cy = ring_centroid(rs[0])
+    if bool(points_in_polygon(np.array([cx]), np.array([cy]), rs)[0]):
+        return cx, cy
+    # horizontal scanline: crossing xs sorted → inside spans are
+    # (x0,x1), (x2,x3), ... under even-odd
+    edges = _rings_edges(rs)
+    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    crossing = (y1 > cy) != (y2 > cy)
+    if not crossing.any():
+        return cx, cy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x1[crossing] + (cy - y1[crossing]) * (x2 - x1)[crossing] / (y2 - y1)[crossing]
+    xs = np.sort(xs)
+    spans = [(xs[i], xs[i + 1]) for i in range(0, xs.shape[0] - 1, 2)]
+    if not spans:
+        return cx, cy
+    a, b = max(spans, key=lambda s: s[1] - s[0])
+    return float((a + b) / 2.0), cy

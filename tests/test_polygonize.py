@@ -1,0 +1,106 @@
+"""Planar-arrangement polygonize (G7), RepairGeometry (G15),
+centroid INSIDE snap (G2), and the exact Blocker composite."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ib_tool_spark import delineate, geom
+
+
+def test_polygonize_grid_blocks():
+    # rectangle + 2 overshooting verticals + 1 horizontal → 6 blocks
+    segs = np.array(
+        [
+            (0, 0, 30, 0), (30, 0, 30, 20), (30, 20, 0, 20), (0, 20, 0, 0),
+            (10, -5, 10, 25), (20, -5, 20, 25), (-5, 10, 35, 10),
+        ],
+        dtype=float,
+    )
+    faces = geom.polygonize(segs)
+    assert len(faces) == 6
+    assert sorted(round(geom.polygon_area(f), 6) for f in faces) == [100.0] * 6
+
+
+def test_polygonize_island_becomes_hole():
+    segs = np.array(
+        [
+            (0, 0, 100, 0), (100, 0, 100, 100), (100, 100, 0, 100), (0, 100, 0, 0),
+            (40, 40, 60, 40), (60, 40, 60, 60), (60, 60, 40, 60), (40, 60, 40, 40),
+        ],
+        dtype=float,
+    )
+    faces = geom.polygonize(segs)
+    assert sorted(round(geom.polygon_area(f), 6) for f in faces) == [400.0, 9600.0]
+    # the 9600 face carries the island as a hole ring
+    big = max(faces, key=geom.polygon_area)
+    assert len(big) == 2
+
+
+def test_polygonize_area_partition_random_net():
+    rng = np.random.default_rng(3)
+    segs = [(0, 0, 1000, 0), (1000, 0, 1000, 1000), (1000, 1000, 0, 1000), (0, 1000, 0, 0)]
+    for _ in range(25):
+        if rng.random() < 0.5:
+            x = rng.uniform(50, 950)
+            segs.append((x, -20, x + rng.uniform(-200, 200), 1020))
+        else:
+            y = rng.uniform(50, 950)
+            segs.append((-20, y, 1020, y + rng.uniform(-200, 200)))
+    faces = geom.polygonize(np.array(segs, dtype=float))
+    total = sum(geom.polygon_area(f) for f in faces)
+    assert total == pytest.approx(1_000_000.0, rel=1e-9)
+    assert len(faces) > 50
+
+
+def test_polygonize_dangling_edges_no_faces():
+    segs = np.array([(0, 0, 10, 0), (10, 0, 20, 5)], dtype=float)
+    assert geom.polygonize(segs) == []
+
+
+def test_repair_geometry_bowtie_and_overlap():
+    bow = [np.array([[0.0, 0.0], [10, 10], [10, 0], [0, 10]])]
+    rep = geom.repair_geometry(bow)
+    assert sorted(round(abs(geom.ring_area(r)), 4) for r in rep) == [25.0, 25.0]
+    # valid input: content-preserving re-trace
+    sq = [geom.rect_ring(0, 0, 10, 10, 0.3)]
+    assert geom.polygon_area(geom.repair_geometry(sq)) == pytest.approx(100.0, abs=1e-3)
+    # even-odd overlap of two rings → xor region
+    two = [geom.rect_ring(0, 0, 10, 10, 0.0), geom.rect_ring(4, 0, 10, 10, 0.0)]
+    assert geom.polygon_area(geom.repair_geometry(two)) == pytest.approx(80.0, abs=1e-6)
+
+
+def test_centroid_inside_snaps_concave():
+    u = [np.array([[0.0, 0], [30, 0], [30, 20], [20, 20], [20, 5], [10, 5], [10, 20], [0, 20]])]
+    cx, cy = geom.centroid_inside(u)
+    assert bool(geom.points_in_polygon(np.array([cx]), np.array([cy]), u)[0])
+    # convex: plain centroid comes back
+    sq = [geom.rect_ring(7, 3, 4, 4, 0.0)]
+    assert geom.centroid_inside(sq) == pytest.approx((7.0, 3.0))
+
+
+def test_blocker_grid(spark):
+    # partition = rectangle, roads = full-crossing grid lines; every
+    # block with a building survives, each block area is closed-form
+    part_rings = [geom.rect_ring(3000.0, 1000.0, 6000.0, 2000.0, 0.0).tolist()]
+    parts = pd.DataFrame({"part": ["P0"], "rings": [part_rings]})
+    roads = pd.DataFrame(
+        [
+            {"rid": 0, "line": [[2000.0, -100.0], [2000.0, 2100.0]]},
+            {"rid": 1, "line": [[4000.0, -100.0], [4000.0, 2100.0]]},
+            {"rid": 2, "line": [[-100.0, 1000.0], [6100.0, 1000.0]]},
+        ]
+    )
+    rng = np.random.default_rng(4)
+    b = pd.DataFrame(
+        {
+            "cx": rng.uniform(100, 5900, 200),
+            "cy": rng.uniform(100, 1900, 200),
+            "part": "P0",
+        }
+    )
+    bdf = spark.createDataFrame(b, "cx double, cy double, part string")
+    out = delineate.blocker(bdf, parts, roads).toPandas().sort_values("block_id")
+    assert len(out) == 6  # 3x2 grid, all populated
+    assert out["area"].round(6).eq(2_000_000.0).all()
+    assert out["n_buildings"].sum() == 200
