@@ -606,6 +606,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_blocker_grid"] = geo_blocker_grid
 
+    def geo_edge_catch_exact(spark, sf_dir):
+        # C-EdgeCatch exact (orthogonal snap lines → polygonize → block
+        # clip) over the synthetic scene; rows-only (polygonize faces
+        # are not SQL-expressible), invariants pinned by
+        # tests/test_polygonize.py
+        _ship(spark)
+        from ib_tool_spark import delineate, synth
+
+        b = synth.buildings_df(
+            spark, per_cluster=min(30, synth.buildings_sf_per_cluster(sf_dir))
+        ).withColumn("part", F.concat(F.lit("P"), F.col("true_cluster")))
+        roads = synth.roads_pdf()[["rid", "line"]]
+        clustered = delineate.mst_cluster(b, roads=roads)
+        joined = b.join(clustered.select("bid", "cluster_id"), "bid")
+        bounds = delineate.cluster_boundaries(joined)
+        pieces = delineate.edge_catch_exact(
+            bounds.select("cluster_id", "rings"),
+            joined.select("cluster_id", "cx", "cy"),
+            roads,
+        )
+        return pieces.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.round(F.sum("area")).cast("long").alias("area_sum_m2"),
+        )
+
+    q["geo_edge_catch_exact"] = geo_edge_catch_exact
+
     # ---- training-data ops: documents ----
 
     def t_dedup_exact(spark, sf_dir):
@@ -1575,5 +1602,8 @@ def oracle_sql() -> dict[str, str]:
     #   and the flagship rows by checked-in goldens.
     # - img_features / img_decode_validate: binary codec paths (PNG/
     #   DCT); pinned by codec round-trip + PSNR invariant tests.
+    # - geo_edge_catch_exact: planar-arrangement faces + MST-cluster
+    #   boundaries are not SQL-expressible; geometry invariants pinned
+    #   by tests/test_polygonize.py (snap-to-road reach, 3x area cap).
 
     return o

@@ -898,3 +898,144 @@ def blocker(
     return buildings.select("cx", "cy", "part").groupBy("part").applyInPandas(
         run, BLOCK_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# EdgeCatch — exact orthogonal snap-line construction
+# (IB-Tool2.py:1903-2119). Round 1 shipped an annex-cells-near-roads
+# simplification (edge_catch above, kept for the cell pipeline); this
+# is the reference's full geometry: per group, vertex→road nearest
+# points (<70 m) → angle-grouping (with the reference's quirks,
+# replicated) → snap lines → polygonize(outline ∪ snap lines ∪ touched
+# roads) → keep faces touching buildings → clip to blocks → drop
+# pieces ≥ 3× the group's area.
+# ---------------------------------------------------------------------------
+
+
+def _edge_catch_group_kernel(
+    group_rings: list[np.ndarray],
+    road_segs: np.ndarray,
+    bdg_x: np.ndarray,
+    bdg_y: np.ndarray,
+    block_polys: "list[list[np.ndarray]] | None",
+    max_dist: float = 70.0,
+) -> list[list[np.ndarray]]:
+    from . import boolean
+
+    group_area = geom.polygon_area(group_rings)
+    verts = np.vstack([geom.coerce_ring(r) for r in group_rings])
+    if road_segs.shape[0] == 0:
+        return []
+    nx, ny, dist, ang = geom.nearest_on_segments(verts[:, 0], verts[:, 1], road_segs)
+    keep = dist < max_dist
+    if not keep.any():
+        return []
+    # the reference sorts by np.cos(NEAR_ANGLE-in-degrees) and chain-
+    # groups with maxdiff 1 over the cos values (IB-Tool2.py:2005-2013)
+    # — replicated, including cos() applied to a degree value
+    rows = sorted(
+        zip(verts[keep, 0], verts[keep, 1], nx[keep], ny[keep], np.cos(ang[keep]), dist[keep]),
+        key=lambda r: r[4],
+    )
+    groups: list[list[tuple]] = [[rows[0]]]
+    for r in rows[1:]:
+        if abs(r[4] - groups[-1][-1][4]) <= 1.0:
+            groups[-1].append(r)
+        else:
+            groups.append([r])
+    if len(groups) > 2:
+        # drop the group with the largest mean distance when it clearly
+        # dominates (the reference's h*1.5 > b comparison, replicated)
+        means = [float(np.mean([g[5] for g in grp])) for grp in groups]
+        h, b, p = 0.0, 0.0, -1
+        for k, e in enumerate(means):
+            if e > h:
+                b = h
+                h = e
+                p = k
+        if h * 1.5 > b and p >= 0:
+            groups.pop(p)
+    snap = np.array(
+        [[g[0], g[1], g[2], g[3]] for grp in groups for g in grp], dtype=np.float64
+    )
+    if snap.shape[0] == 0:
+        return []
+    # roads touching any snap line (SelectLayerByLocation INTERSECT)
+    touched = np.zeros(road_segs.shape[0], dtype=bool)
+    for s in snap:
+        ea = np.tile(s, (road_segs.shape[0], 1))
+        touched |= geom.segments_intersect(ea, road_segs[:, :4])
+    seg_stack = [geom._rings_edges(group_rings), snap]
+    if touched.any():
+        seg_stack.append(road_segs[touched, :4])
+    faces = geom.polygonize(np.vstack(seg_stack))
+
+    out: list[list[np.ndarray]] = []
+    for face in faces:
+        # keep faces touching buildings (centroid-in proxy for the
+        # reference's footprint INTERSECT)
+        if bdg_x.shape[0] == 0 or not geom.points_in_polygon(bdg_x, bdg_y, face).any():
+            continue
+        pieces = [face]
+        if block_polys:
+            pieces = []
+            for bp in block_polys:
+                inter = boolean.polygon_boolean(face, bp, "and")
+                if inter and geom.polygon_area(inter) > 1e-9:
+                    pieces.append(inter)
+        for piece in pieces:
+            if geom.polygon_area(piece) < group_area * 3.0:
+                out.append(piece)
+    return out
+
+
+EDGE_CATCH_SCHEMA = (
+    "cluster_id long, piece long, rings array<array<array<double>>>, area double"
+)
+
+
+def edge_catch_exact(
+    boundaries: DataFrame,  # (cluster_id, rings)
+    buildings: DataFrame,  # (cluster_id, cx, cy)
+    roads: pd.DataFrame,  # (rid, line)
+    blocks: "pd.DataFrame | None" = None,  # (rings) polygons
+    max_dist: float = 70.0,
+) -> DataFrame:
+    """Exact EdgeCatch over cluster boundary polygons: one
+    applyInPandas group per cluster (the reference iterates grouped
+    boundaries one FID at a time); roads/blocks ride along as
+    broadcast-sized closures like the reference's per-partition road
+    subset."""
+    road_segs = _road_segments_pdf(roads)[:, :4]
+    block_polys = (
+        [[np.asarray(r, dtype=np.float64) for r in b.rings] for b in blocks.itertuples()]
+        if blocks is not None
+        else None
+    )
+    joined = boundaries.select("cluster_id", "rings").join(
+        buildings.select("cluster_id", "cx", "cy"), "cluster_id", "left"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["cluster_id"].iloc[0])
+        rings = [
+            np.vstack([np.asarray(p, dtype=np.float64) for p in ring])
+            for ring in pdf["rings"].iloc[0]
+        ]
+        bx = pdf["cx"].dropna().to_numpy(np.float64)
+        by = pdf["cy"].dropna().to_numpy(np.float64)
+        pieces = _edge_catch_group_kernel(rings, road_segs, bx, by, block_polys, max_dist)
+        return pd.DataFrame(
+            [
+                {
+                    "cluster_id": cid,
+                    "piece": k,
+                    "rings": [r.tolist() for r in piece],
+                    "area": geom.polygon_area(piece),
+                }
+                for k, piece in enumerate(pieces)
+            ],
+            columns=["cluster_id", "piece", "rings", "area"],
+        )
+
+    return joined.groupBy("cluster_id").applyInPandas(run, EDGE_CATCH_SCHEMA)

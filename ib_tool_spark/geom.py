@@ -1126,3 +1126,32 @@ def centroid_inside(rings: list[np.ndarray]) -> tuple[float, float]:
         return cx, cy
     a, b = max(spans, key=lambda s: s[1] - s[0])
     return float((a + b) / 2.0), cy
+
+
+def nearest_on_segments(
+    px: np.ndarray, py: np.ndarray, segs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Nearest point ON a segment set for each query point
+    (GenerateNearTable CLOSEST with LOCATION+ANGLE,
+    IB-Tool2.py:1985-96): returns (nx, ny, dist, angle_deg) where
+    angle_deg is the planar from→near direction in degrees from +x
+    (arcpy NEAR_ANGLE convention).  Vectorized (points × segments)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx = x2 - x1
+    dy = y2 - y1
+    L2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px[:, None] - x1[None, :]) * dx[None, :] + (py[:, None] - y1[None, :]) * dy[None, :]) / L2[None, :]
+    t = np.clip(np.where(np.isfinite(t), t, 0.0), 0.0, 1.0)
+    fx = x1[None, :] + t * dx[None, :]
+    fy = y1[None, :] + t * dy[None, :]
+    d2 = (fx - px[:, None]) ** 2 + (fy - py[:, None]) ** 2
+    j = np.argmin(d2, axis=1)
+    rows = np.arange(px.shape[0])
+    nx = fx[rows, j]
+    ny = fy[rows, j]
+    dist = np.sqrt(d2[rows, j])
+    ang = np.degrees(np.arctan2(ny - py, nx - px))
+    return nx, ny, dist, ang

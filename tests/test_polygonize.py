@@ -104,3 +104,44 @@ def test_blocker_grid(spark):
     assert len(out) == 6  # 3x2 grid, all populated
     assert out["area"].round(6).eq(2_000_000.0).all()
     assert out["n_buildings"].sum() == 200
+
+
+def test_edge_catch_exact_snaps_to_road(spark):
+    # a square boundary 30 m from a straight road: EdgeCatch must
+    # produce pieces that extend the boundary up to the road line
+    import numpy as np
+
+    bound_ring = geom.rect_ring(50.0, 50.0, 60.0, 60.0, 0.0)  # [20,80]^2
+    boundaries = spark.createDataFrame(
+        [(0, [bound_ring.tolist()])], "cluster_id long, rings array<array<array<double>>>"
+    )
+    rng = np.random.default_rng(2)
+    # buildings inside the boundary PLUS a few spilling into the
+    # boundary→road gap: those seed the faces EdgeCatch keeps (the
+    # reference keeps polygonized faces intersecting footprints —
+    # IB-Tool2.py:2073-76)
+    b = pd.DataFrame(
+        {
+            "cluster_id": 0,
+            "cx": np.concatenate([rng.uniform(25, 75, 40), rng.uniform(30, 70, 6)]),
+            "cy": np.concatenate([rng.uniform(25, 75, 40), rng.uniform(85, 105, 6)]),
+        }
+    )
+    buildings = spark.createDataFrame(b, "cluster_id long, cx double, cy double")
+    road = pd.DataFrame([{"rid": 0, "line": [[-100.0, 110.0], [200.0, 110.0]]}])  # 30 m north
+    out = delineate.edge_catch_exact(boundaries, buildings, road).toPandas()
+    assert len(out) >= 1
+    allr = [np.vstack([np.asarray(p) for p in ring]) for row in out.itertuples() for ring in row.rings]
+    maxy = max(float(r[:, 1].max()) for r in allr)
+    # pieces reach the road line (y=110) — the gap was caught
+    assert maxy == pytest.approx(110.0, abs=1e-6)
+    # and the area cap holds: no piece >= 3x group area
+    assert (out["area"] < 3 * 3600.0).all()
+
+    # a road beyond the 70 m cutoff is ignored
+    far = pd.DataFrame([{"rid": 0, "line": [[-100.0, 200.0], [200.0, 200.0]]}])
+    out2 = delineate.edge_catch_exact(boundaries, buildings, far).toPandas()
+    assert len(out2) == 0 or all(
+        float(np.vstack([np.asarray(p) for p in ring])[:, 1].max()) < 150
+        for row in out2.itertuples() for ring in row.rings
+    )
