@@ -703,19 +703,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.select("doc_id", toks.alias("toks"))
             .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
         )
-        rare = (
+        # pre-aggregated postings lists: ONE shuffle builds the
+        # per-shingle doc list (rare filter = size cap on the list);
+        # candidate pairs then explode map-side from each sorted list
+        # instead of re-shuffling the postings table through a
+        # self-join (this was the suite's slowest query)
+        postings = (
             shingles.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("freq"))
-            .filter(F.col("freq") <= _SHINGLE_MAX_FREQ)
-            .select("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+            .filter(F.size("docs") <= _SHINGLE_MAX_FREQ)
         )
-        rs = shingles.join(F.broadcast(rare), "shingle")
-        sizes = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-        a = rs.alias("a")
-        b = rs.alias("b")
+        sizes = (
+            postings.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
         pairs = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            postings.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("inter"))
         )
         sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa")
