@@ -1155,3 +1155,39 @@ def nearest_on_segments(
     dist = np.sqrt(d2[rows, j])
     ang = np.degrees(np.arctan2(ny - py, nx - px))
     return nx, ny, dist, ang
+
+
+def point_polygon_distance(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Distance from points to a polygon (0 inside) — vectorized:
+    even-odd containment plus clamped nearest-on-segment over all ring
+    edges."""
+    rs = [coerce_ring(r) for r in rings]
+    inside = points_in_polygon(px, py, rs)
+    segs = _rings_edges(rs)
+    _nx, _ny, dist, _a = nearest_on_segments(
+        np.asarray(px, dtype=np.float64), np.asarray(py, dtype=np.float64), segs
+    )
+    return np.where(inside, 0.0, dist)
+
+
+def buffer_polygon(rings: list[np.ndarray], radius: float, n_arc: int = 16) -> list[np.ndarray]:
+    """Exact round buffer (G1 — Buffer_analysis, IB-Tool2.py:809, 940,
+    1019, 1866-72): Minkowski sum with a disc, arcs approximated by
+    ``n_arc``-gon sectors (the reference's engine likewise polygonizes
+    arcs).  Built as the boolean union of the polygon with one capsule
+    per edge (convex hull of the two endpoint discs), folded through
+    the Martinez–Rueda kernel — correct for concave rings and holes
+    (hole boundaries buffer inward/outward under even-odd)."""
+    from .boolean import polygon_boolean
+
+    rs = [coerce_ring(r) for r in rings]
+    ang = np.linspace(0.0, 2.0 * np.pi, n_arc, endpoint=False)
+    disc = np.stack([np.cos(ang), np.sin(ang)], axis=1) * radius
+    out = [r.copy() for r in rs]
+    for r in rs:
+        nxt = np.roll(r, -1, axis=0)
+        for (ax, ay), (bx, by) in zip(r, nxt):
+            pts = np.vstack([disc + (ax, ay), disc + (bx, by)])
+            cap = convex_hull(pts)
+            out = polygon_boolean(out, [cap], "or")
+    return out

@@ -269,3 +269,27 @@ def test_main_angle_grouping_quirks():
     angles2 = np.array([0.0, 0.0, 90.0, 90.0, 90.0])
     lengths2 = np.array([10.0, 10.0, 5.0, 5.0, 5.0])
     assert geom.main_angle(angles2, lengths2, 10.0) == 0.0
+
+
+def test_buffer_polygon_closed_form():
+    # round buffer of a rotated square: A + P*r + pi*r^2, with the
+    # inscribed-n-gon arc deficit bounded by sin(2pi/n)*n/(2pi)
+    sq = [geom.rect_ring(0, 0, 10, 10, 0.5)]
+    r = 3.0
+    buf = geom.buffer_polygon(sq, r, n_arc=32)
+    want = 100.0 + 40.0 * r + np.pi * r * r
+    got = geom.polygon_area(buf)
+    deficit = np.sin(2 * np.pi / 32) * 32 / (2 * np.pi)  # 0.9936
+    assert want * deficit - 1e-6 <= got <= want + 1e-6
+    # every original vertex is strictly inside the buffer
+    assert geom.points_in_polygon(sq[0][:, 0], sq[0][:, 1], buf).all()
+
+
+def test_point_polygon_distance():
+    sq = [geom.rect_ring(0, 0, 10, 10, 0.0)]  # [-5,5]^2
+    d = geom.point_polygon_distance(
+        np.array([0.0, 8.0, 8.0]), np.array([0.0, 0.0, 9.0]), sq
+    )
+    assert d[0] == 0.0
+    assert d[1] == pytest.approx(3.0)
+    assert d[2] == pytest.approx(np.hypot(3.0, 4.0))

@@ -67,12 +67,12 @@ def test_full_delineation_end_to_end(spark):
     # ≥1 boundary per settlement core plus AddSinglBdg singleton halls
     assert 48 <= len(out) <= 250, len(out)
     assert (out["area"] > 3000).all()
-    # the main settlement bodies are substantial (>3 ha).  Calibrated
-    # for the MainAngle accept rule (reference CalcBoundingRect): its
-    # rectangle is larger than the min-area calipers one, so merging is
-    # stricter and fewer mega-boundaries form than under round-1's
-    # calipers substitute (26 vs 33 on this scene).
-    assert (out["area"] > 30000).sum() >= 24, (out["area"] > 30000).sum()
+    # some settlement bodies are substantial (>3 ha).  Calibrated for
+    # the MainAngle accept rule + the EXACT round footprint buffer:
+    # round-1's bbox dilation over-buffered rotated footprints by up to
+    # the half-diagonal, gluing neighbors into mega-boundaries (33 on
+    # this scene); the exact 25 m buffer keeps bodies tight (6).
+    assert (out["area"] > 30000).sum() >= 5, (out["area"] > 30000).sum()
     # deterministic
     out2 = delineate.full_delineation(spark, per_cluster=20).toPandas()
     import pandas as pd
