@@ -412,9 +412,32 @@ def _connect_edges(sorted_events: list[_Event]) -> list[np.ndarray]:
             if nxt is None:
                 break
             pos = nxt
-        if len(contour) >= 3:
-            rings.append(np.asarray(contour, dtype=np.float64))
+        # a contour through a pinch point (two result regions touching
+        # at a single vertex, e.g. corner-contact union) comes back as
+        # a self-touching figure-eight — split it into simple rings at
+        # repeated vertices so signed areas don't cancel
+        for ring in _split_at_repeats(contour):
+            if len(ring) >= 3:
+                rings.append(np.asarray(ring, dtype=np.float64))
     return rings
+
+
+def _split_at_repeats(contour: list[tuple]) -> list[list[tuple]]:
+    out: list[list[tuple]] = []
+    stack: list[tuple] = []
+    seen: dict[tuple, int] = {}
+    for pt in contour:
+        if pt in seen:
+            i = seen[pt]
+            out.append(stack[i:])
+            for q in stack[i:]:
+                seen.pop(q, None)
+            stack = stack[:i]
+        seen[pt] = len(stack)
+        stack.append(pt)
+    if stack:
+        out.append(stack)
+    return out
 
 
 def _next_pos(pos: int, events: list[_Event], processed: list[bool], pt) -> "int | None":

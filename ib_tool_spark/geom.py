@@ -1191,3 +1191,23 @@ def buffer_polygon(rings: list[np.ndarray], radius: float, n_arc: int = 16) -> l
             cap = convex_hull(pts)
             out = polygon_boolean(out, [cap], "or")
     return out
+
+
+def close_holes(rings: list[np.ndarray], max_hole_area: float) -> list[np.ndarray]:
+    """Exact polygon-level HoleClose (IB-Tool2.py:1704-50): drop hole
+    rings (odd containment depth under the even-odd reading) whose area
+    is below the threshold.  The cell-grid hole_close in delineate.py
+    covers the raster pipeline; this is the ring-level equivalent for
+    exact-geometry callers."""
+    rs = [coerce_ring(r) for r in rings]
+    out: list[np.ndarray] = []
+    for i, r in enumerate(rs):
+        others = [o for j, o in enumerate(rs) if j != i]
+        p = _off_boundary_sample(r, others)
+        depth = sum(
+            1 for o in others if bool(points_in_polygon(p[:1], p[1:], [o])[0])
+        )
+        if depth % 2 == 1 and abs(ring_area(r)) < max_hole_area:
+            continue  # a hole below MaxHoleSize: filled
+        out.append(r)
+    return out

@@ -600,7 +600,6 @@ def hex_density(
     q = F.shiftrightunsigned(F.col("hex_cell"), _HEX_BITS).bitwiseAND(F.lit(_HEX_MASK))
     r = F.col("hex_cell").bitwiseAND(F.lit(_HEX_MASK))
     res_bits = F.col("hex_cell").bitwiseAND(F.lit(((1 << 63) - 1) ^ ((1 << _RES_SHIFT) - 1)))
-    spread = None
     shifted_rows = (
         binned.withColumn(
             "o",

@@ -178,3 +178,29 @@ def test_overlay_erase_area_partition_invariant(spark):
         cut[r.lid] = cut.get(r.lid, 0.0) + r.area
     for i, rings in lefts:
         assert er[i] + cut.get(i, 0.0) == pytest.approx(area(rings), abs=1e-6)
+
+
+def test_boolean_integer_lattice_degeneracies():
+    # integer-lattice boxes share edges/corners constantly — the
+    # adversarial regime for sweep degeneracy handling. Includes the
+    # corner-contact union regression (figure-eight contour split).
+    A = [np.array([[4, 6], [11, 6], [11, 9], [4, 9]], float)]
+    B = [np.array([[3, 9], [4, 9], [4, 14], [3, 14]], float)]
+    assert area(polygon_boolean(A, B, "or")) == pytest.approx(26.0)
+
+    rng = np.random.default_rng(99)
+    for _ in range(150):
+        x1, y1 = rng.integers(0, 12, 2)
+        w1, h1 = rng.integers(1, 8, 2)
+        x2, y2 = rng.integers(0, 12, 2)
+        w2, h2 = rng.integers(1, 8, 2)
+        A = [np.array([[x1, y1], [x1 + w1, y1], [x1 + w1, y1 + h1], [x1, y1 + h1]], float)]
+        B = [np.array([[x2, y2], [x2 + w2, y2], [x2 + w2, y2 + h2], [x2, y2 + h2]], float)]
+        ox = max(0, min(x1 + w1, x2 + w2) - max(x1, x2))
+        oy = max(0, min(y1 + h1, y2 + h2) - max(y1, y2))
+        i = ox * oy
+        aA, aB = w1 * h1, w2 * h2
+        assert area(polygon_boolean(A, B, "and")) == pytest.approx(i, abs=1e-9)
+        assert area(polygon_boolean(A, B, "not")) == pytest.approx(aA - i, abs=1e-9)
+        assert area(polygon_boolean(A, B, "or")) == pytest.approx(aA + aB - i, abs=1e-9)
+        assert area(polygon_boolean(A, B, "xor")) == pytest.approx(aA + aB - 2 * i, abs=1e-9)

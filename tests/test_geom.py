@@ -293,3 +293,14 @@ def test_point_polygon_distance():
     assert d[0] == 0.0
     assert d[1] == pytest.approx(3.0)
     assert d[2] == pytest.approx(np.hypot(3.0, 4.0))
+
+
+def test_close_holes_exact():
+    H = [
+        geom.rect_ring(0, 0, 20, 20, 0.0),
+        geom.rect_ring(0, 0, 2, 2, 0.0),   # 4 m² hole — filled
+        geom.rect_ring(6, 6, 5, 5, 0.0),   # 25 m² hole — kept
+    ]
+    closed = geom.close_holes(H, max_hole_area=10.0)
+    assert len(closed) == 2
+    assert geom.polygon_area(closed) == pytest.approx(375.0)
