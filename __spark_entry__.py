@@ -633,6 +633,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_edge_catch_exact"] = geo_edge_catch_exact
 
+    def g_dissolve_islands(spark, sf_dir):
+        # A1 exact dissolve: boxes in one y-band dissolve into interval
+        # islands whose union area is closed-form; the oracle computes
+        # the same islands with gaps-and-islands SQL, so every contact
+        # decision and the union geometry itself are value-checked
+        _ship(spark)
+        from ib_tool_spark import delineate
+
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+        d = lambda e: e.cast("double")  # noqa: E731
+        x0 = d(F.col("o_orderkey") * 17 % 20000)
+        w = d(F.lit(30) + F.col("o_orderkey") % 170)
+        boxes = o.select(
+            F.col("o_orderkey").alias("id"),
+            F.array(
+                F.array(
+                    F.array(x0, F.lit(0.0)),
+                    F.array(x0 + w, F.lit(0.0)),
+                    F.array(x0 + w, F.lit(100.0)),
+                    F.array(x0, F.lit(100.0)),
+                )
+            ).alias("rings"),
+        )
+        out = delineate.dissolve_polygons(boxes, cell=512.0)
+        flat = F.flatten(F.col("rings"))
+        xs = F.transform(flat, lambda p: F.element_at(p, 1))
+        return out.select(
+            F.round(F.array_min(xs)).cast("long").alias("island_x0"),
+            F.col("n_parts"),
+            F.round("area").cast("long").alias("area_m2"),
+        )
+
+    q["g_dissolve_islands"] = g_dissolve_islands
+
     # ---- training-data ops: documents ----
 
     def t_dedup_exact(spark, sf_dir):
@@ -1447,6 +1481,31 @@ def oracle_sql() -> dict[str, str]:
              CAST(2000000 AS BIGINT) AS area_m2,
              COUNT(*) AS n_buildings
       FROM b GROUP BY 1, 2
+    """
+
+    o["g_dissolve_islands"] = """
+      WITH b AS (
+        SELECT CAST((o_orderkey*17) % 20000 AS BIGINT) AS x0,
+               CAST((o_orderkey*17) % 20000 + 30 + o_orderkey % 170 AS BIGINT) AS x1
+        FROM orders WHERE o_orderkey % 37 = 0
+      ),
+      marked AS (
+        SELECT x0, x1,
+               CASE WHEN x0 > MAX(x1) OVER (ORDER BY x0, x1
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM b
+      ),
+      grp AS (
+        SELECT x0, x1,
+               SUM(new_island) OVER (ORDER BY x0, x1
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked
+      )
+      SELECT CAST(MIN(x0) AS BIGINT) AS island_x0,
+             COUNT(*) AS n_parts,
+             CAST((MAX(x1) - MIN(x0)) * 100 AS BIGINT) AS area_m2
+      FROM grp GROUP BY island
     """
 
     # t_winnow_fp: the full winnowing pipeline in SQL — k-gram rolling

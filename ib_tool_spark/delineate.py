@@ -1044,3 +1044,137 @@ def edge_catch_exact(
         )
 
     return joined.groupBy("cluster_id").applyInPandas(run, EDGE_CATCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Rect_Merge + exact polygon dissolve — the reference MST_Clustering's
+# actual OUTPUT is the merged MainAngle rectangles (IB-Tool2.py:
+# 1628-1646), which the main pipeline then dissolves (IB-Tool2.py:
+# 2507-11).  rect_merge emits one MainAngle rectangle per cluster;
+# dissolve_polygons is the EXACT A1 dissolve (touching/overlapping
+# polygons union into single features via the boolean kernel).
+# ---------------------------------------------------------------------------
+
+RECT_SCHEMA = "cluster_id long, rings array<array<array<double>>>, area double"
+
+
+def rect_merge(buildings_with_clusters: DataFrame) -> DataFrame:
+    """One MainAngle oriented rectangle per cluster (CalcBoundingRect
+    over the cluster's footprint outline segments — the reference's
+    Rect_Merge rows).  Clusters whose footprints yield ≤4 segments
+    (none, with closed rings) or a degenerate rectangle fall back to
+    the footprint union bbox."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["cluster_id"].iloc[0])
+        rings = [
+            np.vstack([np.asarray(v, dtype=np.float64) for v in r[0]]) for r in pdf["rings"]
+        ]
+        segs = np.vstack([geom.ring_segments(r) for r in rings])
+        corners, area = geom.main_angle_rect(segs)
+        if corners is None or not np.isfinite(corners).all():
+            pts = np.vstack(rings)
+            x0, y0 = pts.min(axis=0)
+            x1, y1 = pts.max(axis=0)
+            corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            area = float((x1 - x0) * (y1 - y0))
+        return pd.DataFrame(
+            {"cluster_id": [cid], "rings": [[corners.tolist()]], "area": [float(area)]}
+        )
+
+    return buildings_with_clusters.select("cluster_id", "rings").groupBy(
+        "cluster_id"
+    ).applyInPandas(run, RECT_SCHEMA)
+
+
+DISSOLVE_SCHEMA = "comp long, rings array<array<array<double>>>, area double, n_parts long"
+
+
+def dissolve_polygons(polys: DataFrame, cell: float = 256.0) -> DataFrame:
+    """EXACT Dissolve SINGLE_PART (A1 — Dissolve_management,
+    IB-Tool2.py:826, 2507-11): polygons that intersect or touch merge
+    into one feature via folded boolean union.
+
+    Distributed shape: bbox coarse-cell join proposes candidate pairs,
+    a vectorized segment-intersection/containment refine keeps real
+    contacts, the driver unions find over the DISTINCT contact pairs
+    (output-scale), and each component folds its members through the
+    Martinez–Rueda union in applyInPandas."""
+    from . import boolean
+
+    pairs = ops._overlay_pairs(
+        polys.select(F.col("id"), F.col("rings")),
+        polys.select(F.col("id"), F.col("rings")),
+        cell,
+    ).filter(F.col("lid") < F.col("rid"))
+
+    def refine(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                a = ops._np_rings(r.l_rings)
+                b = ops._np_rings(r.r_rings)
+                ea = geom._rings_edges(a)
+                eb = geom._rings_edges(b)
+                touch = False
+                for s in ea:
+                    t = np.tile(s, (eb.shape[0], 1))
+                    if geom.segments_intersect(t, eb).any():
+                        touch = True
+                        break
+                if not touch:
+                    # containment without boundary contact
+                    pa = a[0][0]
+                    pb = b[0][0]
+                    touch = bool(
+                        geom.points_in_polygon(pa[:1], pa[1:], b)[0]
+                    ) or bool(geom.points_in_polygon(pb[:1], pb[1:], a)[0])
+                if touch:
+                    rows.append({"lid": int(r.lid), "rid": int(r.rid)})
+            yield pd.DataFrame(rows, columns=["lid", "rid"])
+
+    contacts = pairs.mapInPandas(refine, "lid long, rid long").collect()  # output-scale
+    parent: dict[int, int] = {}
+
+    def find(k: int) -> int:
+        r = k
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(k, k) != k:
+            parent[k], k = r, parent[k]
+        return r
+
+    for row in contacts:
+        ra, rb = find(row.lid), find(row.rid)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    remap = [(k, find(k)) for k in list(parent)]
+    spark = polys.sparkSession
+    if remap:
+        map_df = spark.createDataFrame(remap, "id long, comp long")
+        labeled = polys.join(F.broadcast(map_df), "id", "left").select(
+            "id", "rings", F.coalesce("comp", F.col("id")).alias("comp")
+        )
+    else:
+        labeled = polys.select("id", "rings", F.col("id").alias("comp"))
+
+    def union_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = int(pdf["comp"].iloc[0])
+        members = sorted(
+            (int(r.id), ops._np_rings(r.rings)) for r in pdf.itertuples()
+        )
+        out = members[0][1]
+        for _mid, rings in members[1:]:
+            out = boolean.polygon_boolean(out, rings, "or")
+        return pd.DataFrame(
+            {
+                "comp": [comp],
+                "rings": [[r.tolist() for r in out]],
+                "area": [geom.polygon_area(out)],
+                "n_parts": [len(members)],
+            }
+        )
+
+    return labeled.groupBy("comp").applyInPandas(union_group, DISSOLVE_SCHEMA)

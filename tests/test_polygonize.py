@@ -4,6 +4,7 @@ centroid INSIDE snap (G2), and the exact Blocker composite."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from ib_tool_spark import delineate, geom
 
@@ -145,3 +146,63 @@ def test_edge_catch_exact_snaps_to_road(spark):
         float(np.vstack([np.asarray(p) for p in ring])[:, 1].max()) < 150
         for row in out2.itertuples() for ring in row.rings
     )
+
+
+def test_rect_merge_and_dissolve_polygons(spark):
+    # three clusters of axis-aligned footprints: rect_merge emits the
+    # MainAngle rectangle per cluster; overlapping rectangles dissolve
+    rows = []
+    bid = 0
+    for cid, gx in ((0, 0.0), (1, 80.0), (2, 1000.0)):
+        for i in range(5):
+            ring = geom.rect_ring(gx + (i % 3) * 30, (i // 3) * 30, 14, 10, 0.0)
+            rows.append({"bid": bid, "cluster_id": cid, "rings": [ring.tolist()]})
+            bid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), "bid long, cluster_id long, rings array<array<array<double>>>"
+    )
+    rects = delineate.rect_merge(df)
+    got = {r.cluster_id: r for r in rects.collect()}
+    assert set(got) == {0, 1, 2}
+    assert all(got[c].area > 0 for c in got)
+
+    # dissolve: clusters 0 and 1 overlap (gx 0 vs 80, rect width spans
+    # ~[-7, 67+14] vs [73, ...]) — check contact via the real kernel:
+    polys = rects.select(F.col("cluster_id").alias("id"), "rings")
+    dis = delineate.dissolve_polygons(polys, cell=256.0).toPandas()
+    # cluster 2 is far away: its own component
+    assert len(dis) in (2, 3)
+    assert (dis["n_parts"] >= 1).all()
+    # total dissolved area <= sum of rect areas (overlap removed),
+    # >= max single rect
+    areas = {r.cluster_id: r.area for r in rects.collect()}
+    assert dis["area"].sum() <= sum(areas.values()) + 1e-6
+
+
+def test_dissolve_polygons_exact_union_area(spark):
+    # two overlapping + one disjoint box: closed-form union areas
+    boxes = [
+        (0, [geom.rect_ring(0, 0, 10, 10, 0.0)]),
+        (1, [geom.rect_ring(4, 0, 10, 10, 0.0)]),   # overlaps box 0 by 60
+        (2, [geom.rect_ring(100, 0, 10, 10, 0.0)]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [r.tolist() for r in rr]) for i, rr in boxes],
+        "id long, rings array<array<array<double>>>",
+    )
+    out = sorted(
+        (r.n_parts, round(r.area, 6)) for r in delineate.dissolve_polygons(df).collect()
+    )
+    assert out == [(1, 100.0), (2, 140.0)]
+
+    # touching (shared edge) boxes also dissolve — arcpy semantics
+    touch = [
+        (0, [geom.rect_ring(0, 0, 10, 10, 0.0)]),
+        (1, [geom.rect_ring(10, 0, 10, 10, 0.0)]),
+    ]
+    df2 = spark.createDataFrame(
+        [(i, [r.tolist() for r in rr]) for i, rr in touch],
+        "id long, rings array<array<array<double>>>",
+    )
+    out2 = [(r.n_parts, round(r.area, 6)) for r in delineate.dissolve_polygons(df2).collect()]
+    assert out2 == [(2, 200.0)]
