@@ -667,6 +667,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g_dissolve_islands"] = g_dissolve_islands
 
+    def geo_full_delineation_exact(spark, sf_dir):
+        # C-main in EXACT geometry: filter → partition → MST cluster →
+        # MainAngle Rect_Merge → AddSinglBdg → exact dissolve →
+        # PatchRemove. Rows-only (the composite chains CC + Delaunay +
+        # boolean unions); stage invariants pinned by tests.
+        _ship(spark)
+        from ib_tool_spark import delineate, synth
+
+        per = min(20, synth.buildings_sf_per_cluster(sf_dir))
+        return delineate.full_delineation_exact(spark, per_cluster=per).select(
+            "boundary_id", "n_parts", "n_buildings", F.round("area").cast("long").alias("area_m2")
+        )
+
+    q["geo_full_delineation_exact"] = geo_full_delineation_exact
+
     # ---- training-data ops: documents ----
 
     def t_dedup_exact(spark, sf_dir):
@@ -1678,5 +1693,9 @@ def oracle_sql() -> dict[str, str]:
     # - geo_edge_catch_exact: planar-arrangement faces + MST-cluster
     #   boundaries are not SQL-expressible; geometry invariants pinned
     #   by tests/test_polygonize.py (snap-to-road reach, 3x area cap).
+    # - geo_full_delineation_exact: chains CC + Delaunay + MainAngle +
+    #   boolean dissolve; each stage is separately oracle- or
+    #   mirror-checked, the composite is pinned by determinism and
+    #   shape tests.
 
     return o

@@ -1061,9 +1061,11 @@ RECT_SCHEMA = "cluster_id long, rings array<array<array<double>>>, area double"
 def rect_merge(buildings_with_clusters: DataFrame) -> DataFrame:
     """One MainAngle oriented rectangle per cluster (CalcBoundingRect
     over the cluster's footprint outline segments — the reference's
-    Rect_Merge rows).  Clusters whose footprints yield ≤4 segments
-    (none, with closed rings) or a degenerate rectangle fall back to
-    the footprint union bbox."""
+    Rect_Merge rows).  A cluster whose footprints yield ≤4 segments or
+    a degenerate rectangle passes its footprint rings through instead —
+    the reference's CalcBoundingRect likewise returns the input
+    geometry when it emits no rectangle (IB-Tool2.py:636-642), which is
+    what AddSinglBdg's single-footprint path hits."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         cid = int(pdf["cluster_id"].iloc[0])
@@ -1073,13 +1075,13 @@ def rect_merge(buildings_with_clusters: DataFrame) -> DataFrame:
         segs = np.vstack([geom.ring_segments(r) for r in rings])
         corners, area = geom.main_angle_rect(segs)
         if corners is None or not np.isfinite(corners).all():
-            pts = np.vstack(rings)
-            x0, y0 = pts.min(axis=0)
-            x1, y1 = pts.max(axis=0)
-            corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
-            area = float((x1 - x0) * (y1 - y0))
+            out_rings = [r.tolist() for r in rings]
+            area = float(sum(abs(geom.ring_area(r)) for r in rings))
+        else:
+            out_rings = [corners.tolist()]
+            area = float(area)
         return pd.DataFrame(
-            {"cluster_id": [cid], "rings": [[corners.tolist()]], "area": [float(area)]}
+            {"cluster_id": [cid], "rings": [out_rings], "area": [area]}
         )
 
     return buildings_with_clusters.select("cluster_id", "rings").groupBy(
@@ -1178,3 +1180,87 @@ def dissolve_polygons(polys: DataFrame, cell: float = 256.0) -> DataFrame:
         )
 
     return labeled.groupBy("comp").applyInPandas(union_group, DISSOLVE_SCHEMA)
+
+
+def full_delineation_exact(
+    spark,
+    per_cluster: int = 30,
+    coverage_thresh: float = 12.0,
+    min_bdg_count: int = 5,
+    use_roads: bool = True,
+) -> DataFrame:
+    """The reference main() in EXACT geometry end-to-end
+    (IB-Tool2.py:2401-2650): InputHU_Filter → density partitioning →
+    MST clustering → Rect_Merge (MainAngle rectangles) → AddSinglBdg
+    (detached >300 m² footprints join as their own geometry) →
+    Dissolve SINGLE_PART (exact boolean union) → PatchRemove
+    (min building count with density rescue).  The cell-resolution
+    :func:`full_delineation` remains the raster-pipeline twin.
+
+    Returns one row per dissolved boundary: (boundary_id, n_parts,
+    n_buildings, area)."""
+    from . import synth
+    from .config import filter_predicate
+
+    b = synth.buildings_df(spark, per_cluster=per_cluster)
+    b = b.filter(filter_predicate(F.col("fkt"), list(synth.POS_FKT)) & (F.col("area") >= 35.0))
+
+    cent_pts = b.select("bid", F.col("cx").alias("x"), F.col("cy").alias("y"))
+    parts = density_partitions_df(
+        cent_pts.withColumn("image_id", F.col("bid").cast("string")), 150.0, 300.0, 1e-5
+    )
+    bp = assign_partitions_df(
+        b.withColumn("x", F.col("cx")).withColumn("y", F.col("cy")), parts, 150.0
+    ).filter(F.col("part_name").isNotNull()).withColumnRenamed("part_name", "part")
+
+    roads = synth.roads_pdf()[["rid", "line"]] if use_roads else None
+    clustered = mst_cluster(bp, coverage_thresh=coverage_thresh, roads=roads)
+    joined = b.join(clustered.select("bid", "cluster_id"), "bid")
+    rects = rect_merge(joined)
+
+    # AddSinglBdg: detached >300 m² footprints become their own
+    # geometry (IB-Tool2.py:1649-1702)
+    singles = (
+        b.join(clustered.select("bid"), "bid", "left_anti")
+        .filter(F.col("area") > 300.0)
+        .select("bid", F.col("bid").alias("cluster_id"), "rings")
+    )
+    single_rects = rect_merge(singles)
+    all_rects = rects.unionByName(single_rects)
+
+    dissolved = dissolve_polygons(
+        all_rects.select(F.col("cluster_id").alias("id"), "rings"), cell=512.0
+    )
+
+    # PatchRemove (IB-Tool2.py:2197-2245): building count per dissolved
+    # boundary via PIP of footprint centroids (boundaries are
+    # output-scale → broadcast cover join), with the overlap rescue
+    polys_pdf = dissolved.select("comp", "rings").toPandas()
+    polygons = [
+        (int(r.comp), f"B_{r.comp}", [geom.coerce_ring(x).tolist() for x in r.rings])
+        for r in polys_pdf.itertuples()
+    ]
+    pts = ops.with_cell(
+        b.select("bid", F.col("cx").alias("x"), F.col("cy").alias("y")), 10
+    )
+    counts = (
+        ops.pip_join(pts, polygons, 10)
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("n_buildings"))
+        .withColumnRenamed("sid", "comp")
+    )
+    stats = dissolved.join(counts, "comp", "left").fillna(0, ["n_buildings"])
+    bdg_area = F.col("n_buildings").cast("double") * F.lit(120.0)  # mean footprint proxy
+    keep = (F.col("n_buildings") >= min_bdg_count) | (
+        bdg_area / F.col("area") * 100.0 >= F.lit(15.0)
+    )
+    return (
+        stats.filter(keep)
+        .select(
+            F.col("comp").alias("boundary_id"),
+            "n_parts",
+            F.col("n_buildings").cast("long").alias("n_buildings"),
+            "area",
+        )
+        .orderBy("boundary_id")
+    )

@@ -206,3 +206,18 @@ def test_dissolve_polygons_exact_union_area(spark):
     )
     out2 = [(r.n_parts, round(r.area, 6)) for r in delineate.dissolve_polygons(df2).collect()]
     assert out2 == [(2, 200.0)]
+
+
+def test_full_delineation_exact_end_to_end(spark):
+    out = delineate.full_delineation_exact(spark, per_cluster=15).toPandas()
+    # one-or-more exact boundaries per settlement core
+    assert 40 <= len(out) <= 500, len(out)
+    assert (out["area"] > 0).all()
+    assert (out["n_parts"] >= 1).all()
+    assert out["n_buildings"].sum() > 0
+    # determinism
+    out2 = delineate.full_delineation_exact(spark, per_cluster=15).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("boundary_id").reset_index(drop=True),
+        out2.sort_values("boundary_id").reset_index(drop=True),
+    )
