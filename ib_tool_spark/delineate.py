@@ -1264,3 +1264,74 @@ def full_delineation_exact(
         )
         .orderBy("boundary_id")
     )
+
+
+GAP_CLOSE_SCHEMA = "id long, rings array<array<array<double>>>, area double"
+
+
+def gap_close_exact(
+    boundaries: DataFrame,  # (id, rings)
+    blocks: "pd.DataFrame | None" = None,  # (rings) block polygons
+    max_hole: float = 1000.0,
+    max_gap: float = 2000.0,
+    gap_dist: float = 30.0,
+    shared_pct: float = 70.0,
+) -> DataFrame:
+    """Exact GapClose (IB-Tool2.py:1752-1901), one applyInPandas group
+    per boundary feature:
+
+    1. HoleClose: drop hole rings below ``max_hole`` (geom.close_holes);
+    2. block-gap fill: pieces of overlapping blocks NOT covered by the
+       boundary, smaller than ``max_gap``, sharing ≥ ``shared_pct`` %
+       of their outline with the boundary (GapSelect's shared-edge
+       test) union in;
+    3. double-buffer morphological closing by ``gap_dist``
+       (geom.close_polygon);
+    4. HoleClose again.
+    """
+    from . import boolean
+
+    block_polys = (
+        [[np.asarray(r, dtype=np.float64) for r in b.rings] for b in blocks.itertuples()]
+        if blocks is not None
+        else []
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["id"].iloc[0])
+        rings = [
+            np.vstack([np.asarray(p, dtype=np.float64) for p in ring])
+            for ring in pdf["rings"].iloc[0]
+        ]
+        poly = geom.close_holes(rings, max_hole)
+        minx, miny, maxx, maxy = geom.rings_bbox(poly)
+        for bp in block_polys:
+            bminx, bminy, bmaxx, bmaxy = geom.rings_bbox(bp)
+            if bmaxx < minx or maxx < bminx or bmaxy < miny or maxy < bminy:
+                continue
+            gaps = boolean.polygon_boolean(bp, poly, "not")
+            # singlepart: each positive face of the remainder is a
+            # candidate gap (polygonize on its own edges splits parts)
+            for piece in geom.polygonize(geom._rings_edges(gaps)) if gaps else []:
+                a = geom.polygon_area(piece)
+                if a <= 0.0 or a >= max_gap:
+                    continue
+                per = geom.polygon_perimeter(piece)
+                if per <= 0.0:
+                    continue
+                shared = geom.shared_boundary_length(piece, poly)
+                if shared / per * 100.0 >= shared_pct:
+                    poly = boolean.polygon_boolean(poly, piece, "or")
+        poly = geom.close_polygon(poly, gap_dist)
+        poly = geom.close_holes(poly, max_hole)
+        return pd.DataFrame(
+            {
+                "id": [fid],
+                "rings": [[r.tolist() for r in poly]],
+                "area": [geom.polygon_area(poly)],
+            }
+        )
+
+    return boundaries.select("id", "rings").groupBy("id").applyInPandas(
+        run, GAP_CLOSE_SCHEMA
+    )

@@ -1181,12 +1181,19 @@ def buffer_polygon(rings: list[np.ndarray], radius: float, n_arc: int = 16) -> l
     from .boolean import polygon_boolean
 
     rs = [coerce_ring(r) for r in rings]
-    ang = np.linspace(0.0, 2.0 * np.pi, n_arc, endpoint=False)
-    disc = np.stack([np.cos(ang), np.sin(ang)], axis=1) * radius
     out = [r.copy() for r in rs]
+    k = 0
     for r in rs:
         nxt = np.roll(r, -1, axis=0)
         for (ax, ay), (bx, by) in zip(r, nxt):
+            # per-edge phase rotation of the disc n-gon: consecutive
+            # capsules share the joint vertex's disc only approximately,
+            # so the union fold never sees exactly-coincident capsule
+            # edges (the degenerate pile-ups that stress the sweep)
+            phase = (k * 0.7391) % (2.0 * np.pi / n_arc)
+            k += 1
+            ang = np.linspace(0.0, 2.0 * np.pi, n_arc, endpoint=False) + phase
+            disc = np.stack([np.cos(ang), np.sin(ang)], axis=1) * radius
             pts = np.vstack([disc + (ax, ay), disc + (bx, by)])
             cap = convex_hull(pts)
             out = polygon_boolean(out, [cap], "or")
@@ -1211,3 +1218,76 @@ def close_holes(rings: list[np.ndarray], max_hole_area: float) -> list[np.ndarra
             continue  # a hole below MaxHoleSize: filled
         out.append(r)
     return out
+
+
+def shared_boundary_length(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> float:
+    """Total length of A's boundary lying on B's boundary (collinear
+    segment overlap) — GapSelect's shared-edge measure
+    (IB-Tool2.py:1782-1836).  Vectorized per A-edge over B's edges."""
+    ea = _rings_edges([coerce_ring(r) for r in rings_a])
+    eb = _rings_edges([coerce_ring(r) for r in rings_b])
+    bx1, by1, bx2, by2 = eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3]
+    total = 0.0
+    for x1, y1, x2, y2 in ea:
+        dx, dy = x2 - x1, y2 - y1
+        L = float(np.hypot(dx, dy))
+        if L == 0.0:
+            continue
+        # collinear B edges: both endpoints on A's line (within ulp tol)
+        tol = 1e-9 * (abs(x1) + abs(y1) + L + 1.0)
+        c1 = np.abs(dx * (by1 - y1) - dy * (bx1 - x1))
+        c2 = np.abs(dx * (by2 - y1) - dy * (bx2 - x1))
+        m = (c1 <= tol * L) & (c2 <= tol * L)
+        if not m.any():
+            continue
+        inv = 1.0 / (L * L)
+        t1 = ((bx1[m] - x1) * dx + (by1[m] - y1) * dy) * inv
+        t2 = ((bx2[m] - x1) * dx + (by2[m] - y1) * dy) * inv
+        lo = np.clip(np.minimum(t1, t2), 0.0, 1.0)
+        hi = np.clip(np.maximum(t1, t2), 0.0, 1.0)
+        iv = np.sort(np.stack([lo, hi], axis=1), axis=0)
+        # merge overlap intervals along the A edge
+        cov = 0.0
+        cur_lo, cur_hi = None, None
+        for a, b in iv[np.argsort(iv[:, 0])]:
+            if b <= a:
+                continue
+            if cur_lo is None:
+                cur_lo, cur_hi = a, b
+            elif a <= cur_hi:
+                cur_hi = max(cur_hi, b)
+            else:
+                cov += cur_hi - cur_lo
+                cur_lo, cur_hi = a, b
+        if cur_lo is not None:
+            cov += cur_hi - cur_lo
+        total += cov * L
+    return total
+
+
+def close_polygon(rings: list[np.ndarray], d: float, n_arc: int = 16) -> list[np.ndarray]:
+    """Exact morphological closing (the reference GapClose's
+    double-buffer trick, IB-Tool2.py:1865-1875): dilate by ``d`` then
+    erode by ``d``.  Erosion = complement-buffer within a padded frame:
+    erode(B) = frame − buffer(frame − B, d), so concave notches and
+    gaps narrower than 2d close while the rest of the shape returns to
+    its original footprint (up to the n-gon arc approximation)."""
+    from .boolean import polygon_boolean
+
+    rs = [coerce_ring(r) for r in rings]
+    dil = buffer_polygon(rs, d, n_arc)
+    minx, miny, maxx, maxy = rings_bbox(dil)
+    pad = 4.0 * d
+    frame = [
+        np.array(
+            [
+                [minx - pad, miny - pad],
+                [maxx + pad, miny - pad],
+                [maxx + pad, maxy + pad],
+                [minx - pad, maxy + pad],
+            ]
+        )
+    ]
+    comp = polygon_boolean(frame, dil, "not")
+    comp_buf = buffer_polygon(comp, d, n_arc)
+    return polygon_boolean(frame, comp_buf, "not")

@@ -221,3 +221,41 @@ def test_full_delineation_exact_end_to_end(spark):
         out.sort_values("boundary_id").reset_index(drop=True),
         out2.sort_values("boundary_id").reset_index(drop=True),
     )
+
+
+def test_gap_close_exact(spark):
+    # boundary with (a) a small enclosed hole, (b) a deep 6 m notch,
+    # and (c) an adjacent block gap sharing most of its outline
+    outer = geom.rect_ring(15.0, 10.0, 30.0, 20.0, 0.0)           # [0,30]x[0,20]
+    hole = geom.rect_ring(6.0, 6.0, 2.0, 2.0, 0.0)                # 4 m² hole
+    notched = np.array(
+        [[0.0, 0], [30, 0], [30, 20], [18, 20], [18, 5], [12, 5], [12, 20], [0, 20]]
+    )
+    boundaries = spark.createDataFrame(
+        [
+            (0, [outer.tolist(), hole.tolist()]),
+            (1, [notched.tolist()]),
+        ],
+        "id long, rings array<array<array<double>>>",
+    )
+    # hole fill only (no blocks): 596 + 4 = 600
+    out = {r.id: r for r in delineate.gap_close_exact(
+        boundaries.filter("id = 0"), None, max_hole=10.0, gap_dist=0.5
+    ).collect()}
+    assert out[0].area == pytest.approx(600.0, rel=0.02)
+
+    # a block covering the notch: the uncovered piece (6x15 = 90 m²)
+    # shares 36/42 ≈ 86% of its outline with the boundary → annexed
+    blocks = pd.DataFrame({"rings": [[geom.rect_ring(15.0, 10.0, 6.0, 20.0, 0.0).tolist()]]})
+    out2 = {r.id: r for r in delineate.gap_close_exact(
+        boundaries.filter("id = 1"), blocks, max_hole=10.0, max_gap=200.0, gap_dist=0.5
+    ).collect()}
+    assert out2[1].area == pytest.approx(600.0, rel=0.02)
+
+    # a side-adjacent block shares only 20/50 = 40% → NOT annexed; the
+    # notch still closes through the gap_dist=4 morphology instead
+    side = pd.DataFrame({"rings": [[geom.rect_ring(32.5, 10.0, 5.0, 20.0, 0.0).tolist()]]})
+    out3 = {r.id: r for r in delineate.gap_close_exact(
+        boundaries.filter("id = 1"), side, max_hole=10.0, max_gap=200.0, gap_dist=4.0
+    ).collect()}
+    assert 510.0 + 50.0 < out3[1].area < 700.0  # notch morphologically filled, block not annexed
