@@ -6,7 +6,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from ib_tool_spark import delineate, geom
+from ib_tool_spark import delineate, geom, ops
 
 
 def test_polygonize_grid_blocks():
@@ -259,3 +259,60 @@ def test_gap_close_exact(spark):
         boundaries.filter("id = 1"), side, max_hole=10.0, max_gap=200.0, gap_dist=4.0
     ).collect()}
     assert 510.0 + 50.0 < out3[1].area < 700.0  # notch morphologically filled, block not annexed
+
+
+def test_polygonize_crossvalidates_boolean_union():
+    # two INDEPENDENT machines must agree: N-ary union via the
+    # Martinez–Rueda fold vs coverage-classified faces of the planar
+    # arrangement (polygonize + even-odd PIP per piece)
+    from ib_tool_spark.boolean import polygon_boolean
+
+    rng = np.random.default_rng(21)
+    for _ in range(15):
+        pieces = [
+            [geom.rect_ring(*rng.uniform(0, 60, 2), *rng.uniform(8, 30, 2), rng.uniform(0, 3.14))]
+            for _ in range(4)
+        ]
+        # path 1: folded sweep union
+        u = pieces[0]
+        for p in pieces[1:]:
+            u = polygon_boolean(u, p, "or")
+        a_sweep = geom.polygon_area(u)
+        # path 2: arrangement faces covered by >= 1 piece
+        edges = np.vstack([geom._rings_edges(p) for p in pieces])
+        a_faces = 0.0
+        for face in geom.polygonize(edges):
+            cx, cy = geom.centroid_inside([face[0]])
+            covered = any(
+                bool(geom.points_in_polygon(np.array([cx]), np.array([cy]), p)[0])
+                for p in pieces
+            )
+            if covered:
+                a_faces += geom.polygon_area(face)
+        assert a_sweep == pytest.approx(a_faces, rel=1e-6), (a_sweep, a_faces)
+
+
+def test_overlay_erase_moderate_scale(spark):
+    # 400 lefts x 150 disjoint rights through the full overlay join —
+    # the candidate-pair shape must stay sane at 4-figure polygon
+    # counts (shuffle ∝ bbox-cell pairs, kernel per overlapping pair)
+    import time
+
+    rng = np.random.default_rng(31)
+    lefts = [
+        (i, [geom.rect_ring(rng.uniform(0, 4000), rng.uniform(0, 4000), 80, 60, rng.uniform(0, 3.14)).tolist()])
+        for i in range(400)
+    ]
+    rights = [
+        (1000 + j, [geom.rect_ring((j % 13) * 310 + 120, (j // 13) * 330 + 130, 90, 90, 0.0).tolist()])
+        for j in range(150)
+    ]
+    ldf = spark.createDataFrame(lefts, "id long, rings array<array<array<double>>>")
+    rdf = spark.createDataFrame(rights, "id long, rings array<array<array<double>>>")
+    t0 = time.time()
+    out = ops.overlay_erase(ldf, rdf, cell=256.0).toPandas()
+    wall = time.time() - t0
+    assert len(out) == 400
+    assert (out["area"] >= 0).all()
+    assert (out["area"] <= 80 * 60 + 1e-6).all()
+    assert wall < 120.0, wall
