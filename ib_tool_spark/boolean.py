@@ -24,6 +24,7 @@ bounded kernel call per overlapping polygon pair.
 
 from __future__ import annotations
 
+import functools
 import heapq
 
 import numpy as np
@@ -377,14 +378,11 @@ def _connect_edges(sorted_events: list[_Event]) -> list[np.ndarray]:
     result_events = [
         e for e in sorted_events if (e.left and e.in_result) or (not e.left and e.other.in_result)
     ]
-    # re-sort (divisions appended events out of order)
-    changed = True
-    while changed:  # insertion-sort style stabilization (lists are small)
-        changed = False
-        for i in range(len(result_events) - 1):
-            if _event_less(result_events[i + 1], result_events[i]):
-                result_events[i], result_events[i + 1] = result_events[i + 1], result_events[i]
-                changed = True
+    # re-sort (divisions appended events out of order); stable O(n log n)
+    # — the old bubble pass made dissolve's folded unions quadratic
+    result_events.sort(
+        key=functools.cmp_to_key(lambda a, b: -1 if _event_less(a, b) else (1 if _event_less(b, a) else 0))
+    )
     for i, e in enumerate(result_events):
         e.pos = i
     # right events point at their left partner's position

@@ -203,6 +203,10 @@ def _mst_cluster_kernel(
     equivalent here, so ties are pinned explicitly.  cluster_id =
     min bid of the (final) group; ungrouped buildings stay singletons.
     """
+    # applyInPandas gives no within-group row order; node indices and all
+    # edge tie-breaks derive from row position, so pin them to bid order
+    # or the output flips run-to-run (10/10 permutations differed).
+    pdf = pdf.sort_values("bid").reset_index(drop=True)
     n = len(pdf)
     part = pdf["part"].iloc[0] if n else ""
     bids = pdf["bid"].to_numpy(dtype=np.int64)
@@ -1099,9 +1103,11 @@ def dissolve_polygons(polys: DataFrame, cell: float = 256.0) -> DataFrame:
 
     Distributed shape: bbox coarse-cell join proposes candidate pairs,
     a vectorized segment-intersection/containment refine keeps real
-    contacts, the driver unions find over the DISTINCT contact pairs
-    (output-scale), and each component folds its members through the
-    Martinez–Rueda union in applyInPandas."""
+    contacts, ops.edge_components_df labels the contact graph (driver
+    union-find only below a constant cap; distributed min-label
+    propagation beyond it — a city-dense dissolve with millions of
+    touching rectangles never single-threads), and each component folds
+    its members through the Martinez–Rueda union in applyInPandas."""
     from . import boolean
 
     pairs = ops._overlay_pairs(
@@ -1112,64 +1118,67 @@ def dissolve_polygons(polys: DataFrame, cell: float = 256.0) -> DataFrame:
 
     def refine(it):
         for pdf in it:
-            rows = []
-            for r in pdf.itertuples():
-                a = ops._np_rings(r.l_rings)
-                b = ops._np_rings(r.r_rings)
-                ea = geom._rings_edges(a)
-                eb = geom._rings_edges(b)
-                touch = False
-                for s in ea:
-                    t = np.tile(s, (eb.shape[0], 1))
-                    if geom.segments_intersect(t, eb).any():
-                        touch = True
-                        break
-                if not touch:
-                    # containment without boundary contact
-                    pa = a[0][0]
-                    pb = b[0][0]
-                    touch = bool(
-                        geom.points_in_polygon(pa[:1], pa[1:], b)[0]
-                    ) or bool(geom.points_in_polygon(pb[:1], pb[1:], a)[0])
-                if touch:
-                    rows.append({"lid": int(r.lid), "rid": int(r.rid)})
-            yield pd.DataFrame(rows, columns=["lid", "rid"])
+            if not len(pdf):
+                yield pd.DataFrame(columns=["lid", "rid"]).astype({"lid": "int64", "rid": "int64"})
+                continue
+            # one batched edge×edge intersection test over ALL pairs in
+            # the Arrow chunk (per-pair Python looping made a 100k-square
+            # dissolve minutes-slow): cross-product edge rows per pair,
+            # then a segmented any() via reduceat over pair offsets
+            ringsets_a = [ops._np_rings(v) for v in pdf["l_rings"]]
+            ringsets_b = [ops._np_rings(v) for v in pdf["r_rings"]]
+            ea = [geom._rings_edges(a) for a in ringsets_a]
+            eb = [geom._rings_edges(b) for b in ringsets_b]
+            na = np.array([e.shape[0] for e in ea], dtype=np.int64)
+            nb = np.array([e.shape[0] for e in eb], dtype=np.int64)
+            cnt = na * nb
+            left = np.repeat(np.concatenate(ea, axis=0), np.repeat(nb, na), axis=0)
+            right = np.concatenate(
+                [np.tile(b, (k, 1)) for b, k in zip(eb, na)], axis=0
+            )
+            hits = geom.segments_intersect(left, right)
+            touch = np.zeros(len(pdf), dtype=bool)
+            pos = cnt > 0
+            if hits.size:
+                off = np.concatenate([[0], np.cumsum(cnt[pos])[:-1]])
+                touch[pos] = np.maximum.reduceat(hits, off)
+            # containment without boundary contact (rare): scalar fallback
+            for i in np.nonzero(~touch)[0]:
+                pa = ringsets_a[i][0][0]
+                pb = ringsets_b[i][0][0]
+                touch[i] = bool(
+                    geom.points_in_polygon(pa[:1], pa[1:], ringsets_b[i])[0]
+                ) or bool(geom.points_in_polygon(pb[:1], pb[1:], ringsets_a[i])[0])
+            m = np.nonzero(touch)[0]
+            yield pd.DataFrame(
+                {"lid": pdf["lid"].to_numpy()[m], "rid": pdf["rid"].to_numpy()[m]}
+            )
 
-    contacts = pairs.mapInPandas(refine, "lid long, rid long").collect()  # output-scale
-    parent: dict[int, int] = {}
-
-    def find(k: int) -> int:
-        r = k
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(k, k) != k:
-            parent[k], k = r, parent[k]
-        return r
-
-    for row in contacts:
-        ra, rb = find(row.lid), find(row.rid)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    remap = [(k, find(k)) for k in list(parent)]
-    spark = polys.sparkSession
-    if remap:
-        map_df = spark.createDataFrame(remap, "id long, comp long")
-        labeled = polys.join(F.broadcast(map_df), "id", "left").select(
-            "id", "rings", F.coalesce("comp", F.col("id")).alias("comp")
-        )
-    else:
-        labeled = polys.select("id", "rings", F.col("id").alias("comp"))
+    contacts = pairs.mapInPandas(refine, "lid long, rid long")
+    mapping = ops.edge_components_df(
+        contacts.select(F.col("lid").alias("src"), F.col("rid").alias("dst"))
+    )
+    labeled = polys.join(mapping, "id", "left").select(
+        "id", "rings", F.coalesce("comp", F.col("id")).alias("comp")
+    )
 
     def union_group(pdf: pd.DataFrame) -> pd.DataFrame:
         comp = int(pdf["comp"].iloc[0])
         members = sorted(
             (int(r.id), ops._np_rings(r.rings)) for r in pdf.itertuples()
         )
-        out = members[0][1]
-        for _mid, rings in members[1:]:
-            out = boolean.polygon_boolean(out, rings, "or")
+        # balanced pairwise union (deterministic: members sorted by id):
+        # each input ring passes O(log m) sweeps, not O(m) as a fold
+        pieces = [rings for _mid, rings in members]
+        while len(pieces) > 1:
+            nxt = [
+                boolean.polygon_boolean(pieces[i], pieces[i + 1], "or")
+                for i in range(0, len(pieces) - 1, 2)
+            ]
+            if len(pieces) % 2:
+                nxt.append(pieces[-1])
+            pieces = nxt
+        out = pieces[0]
         return pd.DataFrame(
             {
                 "comp": [comp],
@@ -1232,37 +1241,46 @@ def full_delineation_exact(
         all_rects.select(F.col("cluster_id").alias("id"), "rings"), cell=512.0
     )
 
-    # PatchRemove (IB-Tool2.py:2197-2245): building count per dissolved
-    # boundary via PIP of footprint centroids (boundaries are
-    # output-scale → broadcast cover join), with the overlap rescue
+    return patch_remove_exact(dissolved, b, min_bdg_count).orderBy("boundary_id")
+
+
+def patch_remove_exact(
+    dissolved: DataFrame,  # (comp, rings, area, n_parts)
+    buildings: DataFrame,  # (bid, cx, cy, area)
+    min_bdg_count: int = 5,
+    min_overlap_pct: float = 15.0,
+) -> DataFrame:
+    """PatchRemove (IB-Tool2.py:2197-2245): building count per dissolved
+    boundary via PIP of footprint centroids (boundaries are output-scale
+    → broadcast cover join), with the overlap rescue on REAL footprint
+    area — the reference sums actual Shape_Area; a mean-footprint
+    constant misfires for systematically large/small buildings."""
     polys_pdf = dissolved.select("comp", "rings").toPandas()
     polygons = [
         (int(r.comp), f"B_{r.comp}", [geom.coerce_ring(x).tolist() for x in r.rings])
         for r in polys_pdf.itertuples()
     ]
     pts = ops.with_cell(
-        b.select("bid", F.col("cx").alias("x"), F.col("cy").alias("y")), 10
+        buildings.select("bid", F.col("cx").alias("x"), F.col("cy").alias("y"), "area"), 10
     )
     counts = (
         ops.pip_join(pts, polygons, 10)
         .groupBy("sid")
-        .agg(F.count(F.lit(1)).alias("n_buildings"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buildings"),
+            F.sum("area").alias("bdg_area"),
+        )
         .withColumnRenamed("sid", "comp")
     )
-    stats = dissolved.join(counts, "comp", "left").fillna(0, ["n_buildings"])
-    bdg_area = F.col("n_buildings").cast("double") * F.lit(120.0)  # mean footprint proxy
+    stats = dissolved.join(counts, "comp", "left").fillna(0, ["n_buildings", "bdg_area"])
     keep = (F.col("n_buildings") >= min_bdg_count) | (
-        bdg_area / F.col("area") * 100.0 >= F.lit(15.0)
+        F.col("bdg_area") / F.col("area") * 100.0 >= F.lit(min_overlap_pct)
     )
-    return (
-        stats.filter(keep)
-        .select(
-            F.col("comp").alias("boundary_id"),
-            "n_parts",
-            F.col("n_buildings").cast("long").alias("n_buildings"),
-            "area",
-        )
-        .orderBy("boundary_id")
+    return stats.filter(keep).select(
+        F.col("comp").alias("boundary_id"),
+        "n_parts",
+        F.col("n_buildings").cast("long").alias("n_buildings"),
+        "area",
     )
 
 

@@ -89,7 +89,6 @@ def classify_symdiff(
     patch: (patch_id, sign, n_cells, area, n_buildings, coverage_pct,
     error_class) with the class priority of the reference's cascade.
     """
-    spark = computed.sparkSession
     c = computed.select("gx", "gy").withColumn("in_c", F.lit(1))
     e = expert.select("gx", "gy").withColumn("in_e", F.lit(1))
     merged = c.join(e, ["gx", "gy"], "full_outer").fillna(0, ["in_c", "in_e"])
@@ -109,20 +108,22 @@ def classify_symdiff(
         labeled_parts.append(
             ops.cell_components_df(part).withColumn("sign", F.lit(sign))
         )
+    sym.unpersist()  # cell_components_df is eager — sym fully scanned
     labeled = labeled_parts[0].unionByName(labeled_parts[1]).withColumn(
         "patch", F.concat(F.col("sign"), F.lit("_"), F.col("comp").cast("string"))
     )
-    patch_names = [r.patch for r in labeled.select("patch").distinct().collect()]
-    if not patch_names:
-        return spark.createDataFrame(
-            [],
-            "patch_id long, sign string, n_cells long, area double, n_buildings long, "
-            "coverage_pct double, error_class string",
+    # patch ids: dense_rank over the distinct patch keys — a patches-
+    # sized DataFrame sort, no driver collect of patch names (same shape
+    # as ops.cell_components_df's relabel); preserves the original
+    # lexicographic numbering
+    from pyspark.sql import Window
+
+    id_map = (
+        labeled.select("patch")
+        .distinct()
+        .withColumn(
+            "patch_id", (F.dense_rank().over(Window.orderBy("patch")) - 1).cast("long")
         )
-    patch_ids = {p: i for i, p in enumerate(sorted(patch_names))}
-    id_map = spark.createDataFrame(
-        pd.DataFrame({"patch": list(patch_ids), "patch_id": list(patch_ids.values())}),
-        "patch string, patch_id long",
     )
     cells_df = labeled.join(F.broadcast(id_map), "patch", "inner").select(
         "gx", "gy", "sign", "patch_id"
@@ -131,11 +132,18 @@ def classify_symdiff(
     b = buildings.withColumn("gx", F.floor(F.col("cx") / F.lit(cell_size)).cast("long")).withColumn(
         "gy", F.floor(F.col("cy") / F.lit(cell_size)).cast("long")
     )
+    # OverlapCalc on REAL footprint area when the buildings table
+    # carries one (Error_Classification.py:160-230 sums Shape_Area);
+    # without an area column each building counts as one cell — the
+    # documented fallback proxy
+    has_area = "area" in buildings.columns
+    barea = F.col("area") if has_area else F.lit(float(cell_size * cell_size))
     bj = cells_df.join(b, ["gx", "gy"], "left")
     per_patch = bj.groupBy("patch_id", "sign").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("gx", "gy").alias("n_cells"),
         F.count("cx").alias("n_buildings"),
+        F.sum(F.when(F.col("cx").isNotNull(), barea).otherwise(F.lit(0.0))).alias("bdg_area"),
         F.sum(
             F.when(
                 F.col("fkt").isNotNull()
@@ -145,10 +153,7 @@ def classify_symdiff(
         ).alias("n_indcom"),
     )
     area = F.col("n_cells").cast("double") * F.lit(cell_size * cell_size)
-    bdg_cells = F.col("n_buildings")  # ≈ building-occupied cells proxy
-    coverage = F.least(
-        F.lit(100.0), bdg_cells.cast("double") / F.col("n_cells").cast("double") * F.lit(100.0)
-    )
+    coverage = F.least(F.lit(100.0), F.col("bdg_area") / area * F.lit(100.0))
     # the reference's peel order (Error_Classification.py:636-665):
     # IndCom → Resid → Holes → SettBody → LargeEmpty → BdgEdge →
     # EmptyAreas → LowDensBdgGrp

@@ -713,7 +713,6 @@ def cell_components_df(cells: DataFrame, super_size: int = 256) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    spark = cells.sparkSession
     S = int(super_size)
     c = (
         cells.select("gx", "gy")
@@ -758,34 +757,18 @@ def cell_components_df(cells: DataFrame, super_size: int = 256) -> DataFrame:
         .filter(F.col("comp_a") != F.col("comp_b"))
         .distinct()
     )
-    edge_rows = pairs.collect()  # output-scale: component adjacencies only
-
-    # union-by-min over provisional keys so every root is the global
-    # min cell key of its merged component
-    parent: dict[int, int] = {}
-
-    def find(k: int) -> int:
-        r = k
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(k, k) != k:
-            parent[k], k = r, parent[k]
-        return r
-
-    for row in edge_rows:
-        ra, rb = find(row.comp_a), find(row.comp_b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    remap = [(k, find(k)) for k in list(parent)]
-    if remap:
-        map_df = spark.createDataFrame(remap, "comp long, root long")
-        merged = labeled.join(F.broadcast(map_df), "comp", "left").select(
-            "gx", "gy", F.coalesce("root", "comp").alias("comp")
-        )
-    else:
-        merged = labeled.select("gx", "gy", "comp")
+    # union-by-min over provisional keys (root = global min cell key of
+    # the merged component) — edge_components_df bounds driver work by a
+    # constant cap and falls over to distributed min-label propagation
+    # beyond it, so no unbounded collect remains here
+    mapping = edge_components_df(
+        pairs.select(F.col("comp_a").alias("src"), F.col("comp_b").alias("dst"))
+    ).select(F.col("id").alias("comp"), F.col("comp").alias("root"))
+    # no broadcast hint: mapping is usually tiny (AQE broadcasts it),
+    # but a continent-scale border graph may not be
+    merged = labeled.join(mapping, "comp", "left").select(
+        "gx", "gy", F.coalesce("root", "comp").alias("comp")
+    )
 
     # stable relabel (rank of min member) — one window over the
     # components-sized distinct-key table
@@ -794,9 +777,95 @@ def cell_components_df(cells: DataFrame, super_size: int = 256) -> DataFrame:
         .distinct()
         .withColumn("label", (F.dense_rank().over(Window.orderBy("comp")) - 1).cast("long"))
     )
-    return merged.join(F.broadcast(ranks), "comp", "inner").select("gx", "gy", "label").withColumnRenamed(
-        "label", "comp"
+    out = (
+        merged.join(F.broadcast(ranks), "comp", "inner")
+        .select("gx", "gy", "label")
+        .withColumnRenamed("label", "comp")
     )
+    # materialize, then drop the intermediate cache (ADVICE r2: repeated
+    # pipeline calls accumulated `labeled` partitions on executors)
+    out = out.localCheckpoint(eager=True)
+    labeled.unpersist()
+    return out
+
+
+def edge_components_df(edges: DataFrame, cap: int = 65536, max_rounds: int = 64) -> DataFrame:
+    """Distributed connected components over an arbitrary (src, dst)
+    edge list.  Returns (id, comp) with one row per distinct endpoint
+    and ``comp`` = the smallest id in its component (the same
+    union-by-min semantics every call site's driver union-find had).
+
+    Two paths, so driver work is bounded by a CONSTANT, never by the
+    data:
+
+    - distinct pairs ≤ ``cap``: collect + union-find on the driver
+      (bounded by design — one bounded fetch, no scan of the full set);
+    - otherwise: min-label propagation with pointer doubling — each
+      round every endpoint takes the min label over itself and its
+      neighbors, then jumps to its label's label, so convergence is
+      O(log n) rounds of two bounded shuffles (not the BFS-speed plain
+      propagation that crawls along chains).  Rounds are
+      ``localCheckpoint``-ed to keep the lineage flat.
+    """
+    spark = edges.sparkSession
+    pairs = (
+        edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    head = pairs.limit(cap + 1).collect()
+    if len(head) <= cap:
+        parent: dict[int, int] = {}
+
+        def find(k: int) -> int:
+            r = k
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(k, k) != k:
+                parent[k], k = r, parent[k]
+            return r
+
+        for row in head:
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        ids = {i for row in head for i in (row.src, row.dst)}
+        out = [(int(i), int(find(i))) for i in sorted(ids)]
+        if not out:
+            return spark.createDataFrame([], "id long, comp long")
+        return spark.createDataFrame(out, "id long, comp long")
+
+    und = pairs.select(F.col("src").alias("id"), F.col("dst").alias("nb")).unionByName(
+        pairs.select(F.col("dst").alias("id"), F.col("src").alias("nb"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = und.select("id").distinct().select("id", F.col("id").alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbmin = (
+            und.join(labels.select(F.col("id").alias("nb"), F.col("comp").alias("nbc")), "nb")
+            .groupBy("id")
+            .agg(F.min("nbc").alias("nbc"))
+        )
+        cand = labels.join(nbmin, "id", "left").select(
+            "id", F.least("comp", F.coalesce("nbc", "comp")).alias("comp")
+        )
+        jump = cand.select(F.col("id").alias("comp"), F.col("comp").alias("jc"))
+        new = cand.join(jump, "comp", "left").select(
+            "id", F.coalesce("jc", "comp").alias("comp")
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.join(labels.select("id", F.col("comp").alias("old")), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels
 
 
 # ---------------------------------------------------------------------------

@@ -119,6 +119,56 @@ def test_mst_cluster_groups_dense_separates_far(spark):
     )
 
 
+def test_patch_remove_exact_real_area_rescue(spark):
+    # PatchRemove's overlap rescue must use SUM(footprint area), not a
+    # mean-footprint constant: 3 buildings of 1000 m2 inside a 15000 m2
+    # boundary = 20% >= 15 => rescued, though 3 < min_bdg_count; with
+    # 10 m2 footprints the same patch is removed.
+    ring = geom.rect_ring(75.0, 50.0, 150.0, 100.0, 0.0)  # 15000 m2
+    dissolved = spark.createDataFrame(
+        [(0, [ring.tolist()], 15000.0, 1)],
+        "comp long, rings array<array<array<double>>>, area double, n_parts long",
+    )
+    big = spark.createDataFrame(
+        [(i, 30.0 + 40.0 * i, 50.0, 1000.0) for i in range(3)],
+        "bid long, cx double, cy double, area double",
+    )
+    kept = delineate.patch_remove_exact(dissolved, big, min_bdg_count=5).toPandas()
+    assert len(kept) == 1 and kept.iloc[0]["n_buildings"] == 3
+    small = big.withColumn("area", F.lit(10.0))
+    assert delineate.patch_remove_exact(dissolved, small, min_bdg_count=5).count() == 0
+
+
+def test_mst_cluster_kernel_row_order_invariant():
+    # applyInPandas gives no within-group row order; the kernel must sort
+    # by bid internally or node indices / edge tie-breaks float (ADVICE r2:
+    # 10/10 permutations changed cluster_ids before the fix)
+    rng = np.random.default_rng(7)
+    rows = []
+    for b in range(40):
+        ring = geom.rect_ring(
+            float(rng.uniform(0, 400)), float(rng.uniform(0, 400)), 14, 10, float(rng.uniform(0, 3))
+        )
+        cxc, cyc = geom.ring_centroid(ring)
+        rows.append(
+            {"bid": b, "rings": [ring.tolist()], "cx": cxc, "cy": cyc,
+             "area": abs(geom.ring_area(ring)), "part": "P0"}
+        )
+    pdf = pd.DataFrame(rows)
+    base = (
+        delineate._mst_cluster_kernel(pdf, 10.0, 120.0)
+        .sort_values("bid").reset_index(drop=True)
+    )
+    assert (base["cluster_id"] != base["bid"]).any()  # non-trivial clustering
+    for seed in range(5):
+        perm = pdf.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+        got = (
+            delineate._mst_cluster_kernel(perm, 10.0, 120.0)
+            .sort_values("bid").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(base, got)
+
+
 def test_mst_cluster_on_synth_buildings(spark, buildings):
     parts = buildings.withColumn("part", F.concat(F.lit("P"), F.col("true_cluster")))
     out = delineate.mst_cluster(parts).toPandas()

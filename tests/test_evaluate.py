@@ -56,6 +56,31 @@ def test_classify_indcom_priority(spark):
     assert out.iloc[0]["error_class"] == "IndCom"  # peels before Resid
 
 
+def test_classify_symdiff_real_area_coverage(spark):
+    # OverlapCalc semantics: with an `area` column, coverage is
+    # sum(footprint area)/patch area — 2 buildings of 1500 m2 in a
+    # 10,000 m2 patch = 30% >= got(25) => Resid under real area, while
+    # the count proxy (2 cells of 100) would give 2% => LowDensBdgGrp
+    comp = {(x, y) for x in range(0, 10) for y in range(0, 10)}
+    computed = _cells_df(spark, comp)
+    expert = _cells_df(spark, set())
+    rows = [(0, 15.0, 15.0, "31001_1000", 1500.0), (1, 55.0, 55.0, "31001_1000", 1500.0),
+            (2, 75.0, 75.0, "31001_1000", 1500.0), (3, 35.0, 35.0, "31001_1000", 1500.0)]
+    buildings = spark.createDataFrame(
+        rows, "bid long, cx double, cy double, fkt string, area double"
+    )
+    out = evaluate.classify_symdiff(computed, expert, buildings, cell_size=10.0).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["coverage_pct"] == pytest.approx(60.0)
+    assert out.iloc[0]["error_class"] == "Resid"
+    # same scene WITHOUT area: 4 buildings / 100 cells = 4% coverage
+    out2 = evaluate.classify_symdiff(
+        computed, expert, buildings.drop("area"), cell_size=10.0
+    ).toPandas()
+    assert out2.iloc[0]["coverage_pct"] == pytest.approx(4.0)
+    assert out2.iloc[0]["error_class"] == "LowDensBdgGrp"
+
+
 def test_identical_boundaries_empty(spark):
     comp = {(x, y) for x in range(0, 8) for y in range(0, 8)}
     computed = _cells_df(spark, comp)

@@ -285,6 +285,25 @@ def test_buffer_polygon_closed_form():
     assert geom.points_in_polygon(sq[0][:, 0], sq[0][:, 1], buf).all()
 
 
+def test_buffer_polygon_large_ring_perf_pin():
+    # balanced-tree capsule union: a 1,000-vertex ring must buffer in
+    # seconds, not the minutes a sequential per-edge fold costs
+    import time
+
+    t = np.linspace(0, 2 * np.pi, 1000, endpoint=False)
+    rad = 100 + 10 * np.sin(9 * t)
+    ring = np.stack([rad * np.cos(t), rad * np.sin(t)], axis=1)
+    t0 = time.time()
+    buf = geom.buffer_polygon([ring], 5.0, n_arc=8)
+    assert time.time() - t0 < 8.0  # ~1 s observed; slack for CI steal
+    got = geom.polygon_area(buf)
+    # wavy annulus: pi*(mean_r^2 + amp^2/2) at mean_r+5, n-gon deficit below
+    want = np.pi * (105.0**2 + 50.0)
+    assert 0.9 * want < got < 1.02 * want
+    # every source vertex strictly inside
+    assert geom.points_in_polygon(ring[:, 0], ring[:, 1], buf).all()
+
+
 def test_point_polygon_distance():
     sq = [geom.rect_ring(0, 0, 10, 10, 0.0)]  # [-5,5]^2
     d = geom.point_polygon_distance(
