@@ -583,15 +583,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("py") * F.lit(0.02)).alias("cy"),
             F.lit("P0").alias("part"),
         )
-        parts = pd.DataFrame(
-            {"part": ["P0"], "rings": [[geom.rect_ring(3000.0, 1000.0, 6000.0, 2000.0, 0.0).tolist()]]}
+        # partitions AND roads as DataFrames (the cogrouped scale path;
+        # hash-checked against the closed-form grid oracle)
+        parts = spark.createDataFrame(
+            pd.DataFrame(
+                {"part": ["P0"], "rings": [[geom.rect_ring(3000.0, 1000.0, 6000.0, 2000.0, 0.0).tolist()]]}
+            ),
+            "part string, rings array<array<array<double>>>",
         )
-        roads = pd.DataFrame(
-            [
-                {"rid": 0, "line": [[2000.0, -100.0], [2000.0, 2100.0]]},
-                {"rid": 1, "line": [[4000.0, -100.0], [4000.0, 2100.0]]},
-                {"rid": 2, "line": [[-100.0, 1000.0], [6100.0, 1000.0]]},
-            ]
+        roads = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {"rid": 0, "line": [[2000.0, -100.0], [2000.0, 2100.0]]},
+                    {"rid": 1, "line": [[4000.0, -100.0], [4000.0, 2100.0]]},
+                    {"rid": 2, "line": [[-100.0, 1000.0], [6100.0, 1000.0]]},
+                ]
+            ),
+            "rid long, line array<array<double>>",
         )
         out = delineate.blocker(b, parts, roads)
         flat = F.flatten(F.col("rings"))
@@ -617,7 +625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b = synth.buildings_df(
             spark, per_cluster=min(30, synth.buildings_sf_per_cluster(sf_dir))
         ).withColumn("part", F.concat(F.lit("P"), F.col("true_cluster")))
-        roads = synth.roads_pdf()[["rid", "line"]]
+        # roads as a DataFrame end-to-end: MST prune AND the EdgeCatch
+        # snap both receive per-group cogrouped road subsets
+        roads = synth.roads_df(spark).select("rid", "line")
         clustered = delineate.mst_cluster(b, roads=roads)
         joined = b.join(clustered.select("bid", "cluster_id"), "bid")
         bounds = delineate.cluster_boundaries(joined)
@@ -666,6 +676,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["g_dissolve_islands"] = g_dissolve_islands
+
+    def j9_identity(spark, sf_dir):
+        # J9 ARE_IDENTICAL_TO join (IB-Tool2.py:1730-31): left rectangles
+        # built CCW from the bottom-left vertex; right side holds the
+        # SAME rectangles rotated to start at the top-right and wound CW
+        # (same point set, different representation) PLUS 0.5 m-shifted
+        # decoys under different ids. identity_join must pair exactly
+        # the same-o_orderkey rows via the canonical geometry hash —
+        # the oracle knows the answer closed-form from the key equality.
+        _ship(spark)
+        from ib_tool_spark import ops
+
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+        d = lambda e: e.cast("double")  # noqa: E731
+        cx = d(F.col("o_orderkey") % 1000) * 10.0
+        cy = d(F.col("o_orderkey") % 890) * 10.0
+        w = d(F.lit(5) + F.col("o_orderkey") % 7)
+        h = d(F.lit(3) + F.col("o_orderkey") % 5)
+
+        def rect(cx, cy, w, h, rotated):
+            bl = F.array(cx - w, cy - h)
+            br = F.array(cx + w, cy - h)
+            tr = F.array(cx + w, cy + h)
+            tl = F.array(cx - w, cy + h)
+            if not rotated:
+                return F.array(F.array(bl, br, tr, tl))  # CCW from bottom-left
+            return F.array(F.array(tr, br, bl, tl))  # CW from top-right
+
+        left = o.select(F.col("o_orderkey").alias("id"), rect(cx, cy, w, h, False).alias("rings"))
+        right = o.select(
+            F.col("o_orderkey").alias("id"), rect(cx, cy, w, h, True).alias("rings")
+        ).unionByName(
+            o.select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("id"),
+                rect(cx + F.lit(0.5), cy, w, h, True).alias("rings"),
+            )
+        )
+        return ops.identity_join(left, right).select("lid", "rid")
+
+    q["j9_identity"] = j9_identity
+
+    def geo_gap_close_exact(spark, sf_dir):
+        # C-GapClose exact with a closed-form oracle: notched rectangles
+        # (30x20 outer, notch nw x 15, 2x2 hole). Even keys get a block
+        # exactly covering the notch — shared outline (30+nw)/(30+2nw)
+        # >= 82% >= 70% => annexed; odd keys' blocks sit 1 km away =>
+        # no annex. gap_dist=0 (no morphological closing) keeps every
+        # coordinate integral, so areas are exact: 600 even, 600-15*nw
+        # odd (the hole always fills).
+        _ship(spark)
+        from ib_tool_spark import delineate
+
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 53 == 0)
+        d = lambda e: e.cast("double")  # noqa: E731
+        # unique x0 per id: colliding scenes would let one id's block
+        # annex another id's notch and break the closed form
+        x0 = d(F.col("o_orderkey")) * 100.0
+        nw = d(F.lit(4) + (F.col("o_orderkey") % 3) * 2)  # 4, 6, 8
+        nx0 = x0 + 15.0 - nw / 2.0  # notch left edge (centered)
+        nx1 = x0 + 15.0 + nw / 2.0
+        outer = F.array(
+            F.array(x0, F.lit(0.0)),
+            F.array(x0 + 30.0, F.lit(0.0)),
+            F.array(x0 + 30.0, F.lit(20.0)),
+            F.array(nx1, F.lit(20.0)),
+            F.array(nx1, F.lit(5.0)),
+            F.array(nx0, F.lit(5.0)),
+            F.array(nx0, F.lit(20.0)),
+            F.array(x0, F.lit(20.0)),
+        )
+        hole = F.array(
+            F.array(x0 + 3.0, F.lit(2.0)),
+            F.array(x0 + 5.0, F.lit(2.0)),
+            F.array(x0 + 5.0, F.lit(4.0)),
+            F.array(x0 + 3.0, F.lit(4.0)),
+        )
+        boundaries = o.select(
+            F.col("o_orderkey").alias("id"), F.array(outer, hole).alias("rings")
+        )
+        bx0 = F.when(F.col("o_orderkey") % 2 == 0, nx0).otherwise(nx0 + 1000.0)
+        bx1 = F.when(F.col("o_orderkey") % 2 == 0, nx1).otherwise(nx1 + 1000.0)
+        blocks = o.select(
+            F.col("o_orderkey").alias("block_id"),
+            F.array(
+                F.array(
+                    F.array(bx0, F.lit(5.0)),
+                    F.array(bx1, F.lit(5.0)),
+                    F.array(bx1, F.lit(20.0)),
+                    F.array(bx0, F.lit(20.0)),
+                )
+            ).alias("rings"),
+        )
+        out = delineate.gap_close_exact(
+            boundaries, blocks, max_hole=10.0, max_gap=1000.0, gap_dist=0.0
+        )
+        return out.select("id", F.round("area").cast("long").alias("area_m2"))
+
+    q["geo_gap_close_exact"] = geo_gap_close_exact
 
     def geo_full_delineation_exact(spark, sf_dir):
         # C-main in EXACT geometry: filter → partition → MST cluster →
@@ -885,6 +993,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e_ivf_topk"] = e_ivf_topk
 
+    def e_ivf_topk_pruned(spark, sf_dir):
+        # IVF with the partition-pruned layout end-to-end: embeddings
+        # written partitioned by ivf_cell (once, cached under .synth),
+        # then textops.ivf_topk probes the 4 nearest lists — the filter
+        # reaches the scan as PartitionFilters, so only ~4/16 of the
+        # files are read. Rows-only: the probe set depends on the
+        # seeded k-means quantizer (not SQL-expressible); full-probe ==
+        # brute-force equivalence and the pruned-scan plan are pinned
+        # by tests/test_textops.py.
+        import os
+
+        import numpy as np
+
+        _ship(spark)
+        from ib_tool_spark import textops
+
+        emb = _t(spark, sf_dir, "embeddings")
+        C = textops.ivf_centroids(emb, _ANN_DIM, n_cells=16, sample=1024)
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".synth",
+            f"ivf_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            textops.ivf_write(textops.ivf_assign(emb, C), path)
+        stored = textops.ivf_read(spark, path)
+        qv = np.array(_ANN_QV, dtype=np.float64)
+        out = textops.ivf_topk(stored, C, qv, k=_ANN_K, n_probe=4)
+        return out.select(
+            "vec_id", F.round(F.col("dot") * 1000.0).cast("long").alias("dot_mips")
+        )
+
+    q["e_ivf_topk_pruned"] = e_ivf_topk_pruned
+
     # ---- delineation composites (synthetic scene; rows-only checks;
     #      invariants pinned by tests/test_delineate.py) ----
 
@@ -931,7 +1073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         b = synth.buildings_df(spark, per_cluster=min(60, synth.buildings_sf_per_cluster(sf_dir)))
         b = b.withColumn("part", F.concat(F.lit("P"), F.col("true_cluster")))
-        roads = synth.roads_pdf()[["rid", "line"]]
+        # roads as a DataFrame: per-partition subsets cogroup into the
+        # kernel (tests/test_cogroup_roads.py pins parity with the
+        # pandas-closure path row-for-row)
+        roads = synth.roads_df(spark).select("rid", "line")
         out = delineate.mst_cluster(b, roads=roads)
         return out.groupBy("part").agg(
             F.countDistinct("cluster_id").alias("n_clusters"),
@@ -1498,6 +1643,20 @@ def oracle_sql() -> dict[str, str]:
       FROM b GROUP BY 1, 2
     """
 
+    o["j9_identity"] = """
+      SELECT CAST(o_orderkey AS BIGINT) AS lid,
+             CAST(o_orderkey AS BIGINT) AS rid
+      FROM orders WHERE o_orderkey % 97 = 0
+    """
+
+    o["geo_gap_close_exact"] = """
+      SELECT CAST(o_orderkey AS BIGINT) AS id,
+             CAST(CASE WHEN o_orderkey % 2 = 0 THEN 600
+                       ELSE 600 - 15 * (4 + (o_orderkey % 3) * 2)
+                  END AS BIGINT) AS area_m2
+      FROM orders WHERE o_orderkey % 53 = 0
+    """
+
     o["g_dissolve_islands"] = """
       WITH b AS (
         SELECT CAST((o_orderkey*17) % 20000 AS BIGINT) AS x0,
@@ -1671,6 +1830,10 @@ def oracle_sql() -> dict[str, str]:
     # - t_minhash_lsh: the xxhash64 mirror table over the shingle space
     #   is megabytes of literal SQL; pinned by bit-exact pure-python
     #   mirror tests (tests/test_textops.py).
+    # - e_ivf_topk_pruned: the probe set depends on the seeded k-means
+    #   quantizer (not SQL-expressible); full-probe == brute-force and
+    #   the PartitionFilters pruned-scan plan are pinned by
+    #   tests/test_textops.py::test_ivf_partitioned_layout_prunes_scan.
     # - e_embed_near_dup: seeded-RNG hyperplane signatures are not
     #   SQL-expressible; exact-cosine refine pinned by numpy-mirror
     #   tests, candidate recall by construction.

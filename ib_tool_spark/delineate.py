@@ -292,22 +292,66 @@ def mst_cluster(
     part_col: str = "part",
     coverage_thresh: float = 12.0,
     max_edge: float = 120.0,
-    roads: pd.DataFrame | None = None,
+    roads: "pd.DataFrame | DataFrame | None" = None,
+    road_cell: float = 1024.0,
 ) -> DataFrame:
     """Footprint aggregation: (bid, cluster_id, part), parallel across
     partitions, sequential-greedy within (same shape as the reference's
     per-partition loop; partitions are bounded by the density
-    partitioner, so a group always fits one worker).  ``roads``
-    (optional pandas polylines) enables the Delaunay road-crossing
-    prune with the short-dead-end exemption."""
-    road_segs = _road_segments_pdf(roads) if roads is not None else None
+    partitioner, so a group always fits one worker).  ``roads`` enables
+    the Delaunay road-crossing prune with the short-dead-end exemption.
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _mst_cluster_kernel(pdf, coverage_thresh, max_edge, road_segs)
-
+    Pass roads as a Spark DataFrame (rid, line) for the scale path: the
+    road network is subset to each partition's bbox by a coarse-cell
+    join and COGROUPED into the kernel — the reference's own locality
+    model (IB-Tool2.py:2428-2443) — so no task ever deserializes the
+    whole road table.  A pandas DataFrame still works for small scenes
+    (closure broadcast, the pre-round-3 behavior)."""
     cols = ["bid", "rings", "cx", "cy", "area", part_col]
     prepared = buildings.select(*cols).withColumnRenamed(part_col, "part")
-    return prepared.groupBy("part").applyInPandas(run, CLUSTER_SCHEMA)
+
+    if roads is None or isinstance(roads, pd.DataFrame):
+        road_segs = _road_segments_pdf(roads) if roads is not None else None
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _mst_cluster_kernel(pdf, coverage_thresh, max_edge, road_segs)
+
+        return prepared.groupBy("part").applyInPandas(run, CLUSTER_SCHEMA)
+
+    # DataFrame roads: per-partition subset (pad 0 — pruning only tests
+    # crossings against centroid-to-centroid edges, which live inside
+    # the centroid bbox), cogrouped into the kernel
+    # fresh key attribute (`kpart`) so the cogroup's two sides don't
+    # share lineage (Spark flags the self-referencing join as ambiguous)
+    keys_bbox = (
+        prepared.select(F.col("part").alias("kpart"), "cx", "cy")
+        .groupBy("kpart")
+        .agg(
+            F.min("cx").alias("kminx"),
+            F.min("cy").alias("kminy"),
+            F.max("cx").alias("kmaxx"),
+            F.max("cy").alias("kmaxy"),
+        )
+    )
+    roadsub = _segments_for_keys(
+        keys_bbox, road_segments_df(roads), "kpart", pad=0.0, cell=road_cell
+    ).select(F.col("kpart").alias("part"), "x1", "y1", "x2", "y2", "L")
+
+    def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame({"bid": [], "cluster_id": [], "part": []}).astype(
+                {"bid": "int64", "cluster_id": "int64", "part": "str"}
+            )
+        segs = _sorted_segs_np(right)
+        return _mst_cluster_kernel(
+            left, coverage_thresh, max_edge, segs if segs.shape[0] else None
+        )
+
+    return (
+        prepared.groupBy("part")
+        .cogroup(roadsub.groupBy("part"))
+        .applyInPandas(run_cg, CLUSTER_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -546,6 +590,204 @@ def road_node_degrees(roads: DataFrame, snap: float = 1.0) -> DataFrame:
     )
 
 
+def road_segments_df(roads: DataFrame) -> DataFrame:
+    """Road polylines → one row per segment (x1, y1, x2, y2, L), all in
+    Column math (explode over transform/sequence — no Python).  ``L`` is
+    the TOTAL polyline length, the measure the dead-end exemption tests
+    (IB-Tool2.py:1359-72), attached by a per-rid partial agg."""
+    segs = roads.select(
+        "rid",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(line) - 1), i -> "
+                "struct(element_at(line, i) AS a, element_at(line, i + 1) AS b))"
+            )
+        ).alias("s"),
+    ).select(
+        "rid",
+        F.element_at("s.a", 1).alias("x1"),
+        F.element_at("s.a", 2).alias("y1"),
+        F.element_at("s.b", 1).alias("x2"),
+        F.element_at("s.b", 2).alias("y2"),
+    )
+    seg_len = F.sqrt(
+        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    )
+    lens = segs.groupBy("rid").agg(F.sum(seg_len).alias("L"))
+    return segs.join(lens, "rid").select("x1", "y1", "x2", "y2", "L")
+
+
+def _segments_for_keys(
+    keys_bbox: DataFrame,  # (key, kminx, kminy, kmaxx, kmaxy)
+    segs: DataFrame,  # (x1, y1, x2, y2, L)
+    key_col: str,
+    pad: float,
+    cell: float = 1024.0,
+) -> DataFrame:
+    """Subset road segments per group key: every segment whose bbox
+    overlaps the key's ``pad``-expanded bbox, via a coarse-cell cover
+    equi-join (shuffle ∝ covered cells — no theta join, no broadcast of
+    the full road table into every task).  This is the reference's
+    per-partition road subset (IB-Tool2.py:2428-2443) as a join."""
+    padc = F.lit(float(pad))
+    k = (
+        keys_bbox.withColumn(
+            "cgx",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("kminx") - padc) / F.lit(cell)),
+                    F.floor((F.col("kmaxx") + padc) / F.lit(cell)),
+                )
+            ),
+        ).withColumn(
+            "cgy",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("kminy") - padc) / F.lit(cell)),
+                    F.floor((F.col("kmaxy") + padc) / F.lit(cell)),
+                )
+            ),
+        )
+    )
+    s = (
+        segs.withColumn("sminx", F.least("x1", "x2"))
+        .withColumn("smaxx", F.greatest("x1", "x2"))
+        .withColumn("sminy", F.least("y1", "y2"))
+        .withColumn("smaxy", F.greatest("y1", "y2"))
+    )
+    s = s.withColumn(
+        "cgx",
+        F.explode(
+            F.sequence(F.floor(F.col("sminx") / F.lit(cell)), F.floor(F.col("smaxx") / F.lit(cell)))
+        ),
+    ).withColumn(
+        "cgy",
+        F.explode(
+            F.sequence(F.floor(F.col("sminy") / F.lit(cell)), F.floor(F.col("smaxy") / F.lit(cell)))
+        ),
+    )
+    j = k.join(s, ["cgx", "cgy"]).filter(
+        (F.col("sminx") <= F.col("kmaxx") + padc)
+        & (F.col("smaxx") >= F.col("kminx") - padc)
+        & (F.col("sminy") <= F.col("kmaxy") + padc)
+        & (F.col("smaxy") >= F.col("kminy") - padc)
+    )
+    # exact-duplicate collapse: a segment reaching a key through several
+    # cover cells carries identical coordinates, so distinct dedups it
+    return j.select(key_col, "x1", "y1", "x2", "y2", "L").distinct()
+
+
+def _rings_bbox_cols(df: DataFrame, prefix: str = "k") -> DataFrame:
+    """Attach (prefix)minx/miny/maxx/maxy bbox columns computed from a
+    ``rings`` column in pure Column math."""
+    flat = F.flatten(F.col("rings"))
+    xs = F.transform(flat, lambda p: F.element_at(p, 1))
+    ys = F.transform(flat, lambda p: F.element_at(p, 2))
+    return (
+        df.withColumn(f"{prefix}minx", F.array_min(xs))
+        .withColumn(f"{prefix}maxx", F.array_max(xs))
+        .withColumn(f"{prefix}miny", F.array_min(ys))
+        .withColumn(f"{prefix}maxy", F.array_max(ys))
+    )
+
+
+def _polys_for_keys(
+    keys_bbox: DataFrame,  # (key, kminx, kminy, kmaxx, kmaxy)
+    polys: DataFrame,  # (block_id, rings)
+    key_col: str,
+    pad: float,
+    cell: float = 1024.0,
+) -> DataFrame:
+    """(key, block_id, rings): polygons whose bbox overlaps the key's
+    padded bbox.  The pair set is computed id-only through the cover
+    join; rings re-attach by a plain id join AFTER the dedup (the safe
+    nested-array pattern — see ops._overlay_pairs)."""
+    padc = F.lit(float(pad))
+    pb = _rings_bbox_cols(polys.select("block_id", "rings"), "p").drop("rings")
+    pb = pb.withColumn(
+        "cgx",
+        F.explode(
+            F.sequence(F.floor(F.col("pminx") / F.lit(cell)), F.floor(F.col("pmaxx") / F.lit(cell)))
+        ),
+    ).withColumn(
+        "cgy",
+        F.explode(
+            F.sequence(F.floor(F.col("pminy") / F.lit(cell)), F.floor(F.col("pmaxy") / F.lit(cell)))
+        ),
+    )
+    k = keys_bbox.withColumn(
+        "cgx",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("kminx") - padc) / F.lit(cell)),
+                F.floor((F.col("kmaxx") + padc) / F.lit(cell)),
+            )
+        ),
+    ).withColumn(
+        "cgy",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("kminy") - padc) / F.lit(cell)),
+                F.floor((F.col("kmaxy") + padc) / F.lit(cell)),
+            )
+        ),
+    )
+    pairs = (
+        k.join(pb, ["cgx", "cgy"])
+        .filter(
+            (F.col("pminx") <= F.col("kmaxx") + padc)
+            & (F.col("pmaxx") >= F.col("kminx") - padc)
+            & (F.col("pminy") <= F.col("kmaxy") + padc)
+            & (F.col("pmaxy") >= F.col("kminy") - padc)
+        )
+        .select(key_col, "block_id")
+        .distinct()
+    )
+    return pairs.join(polys.select("block_id", "rings"), "block_id")
+
+
+def _flat_rings_col(rings_col: str = "rings"):
+    """Ring set → ONE flat array<double> [n1, x, y, …, n2, x, y, …].
+
+    The cogroup Arrow deserializer in this Spark/pyarrow combination
+    segfaults on ANY multi-level array column arriving on the cogrouped
+    right side (verified: even real non-null array<array<array<double>>>
+    rows crash arrow_to_pandas); flat arrays are safe, so polygon
+    payloads ride the right side in this length-prefixed encoding."""
+    return F.flatten(
+        F.transform(
+            F.col(rings_col),
+            lambda ring: F.concat(F.array(F.size(ring).cast("double")), F.flatten(ring)),
+        )
+    )
+
+
+def _decode_flat_rings(arr) -> list[np.ndarray]:
+    """Inverse of _flat_rings_col."""
+    a = np.asarray(arr, dtype=np.float64)
+    rings: list[np.ndarray] = []
+    i = 0
+    while i < a.shape[0]:
+        n = int(a[i])
+        i += 1
+        rings.append(a[i : i + 2 * n].reshape(n, 2).copy())
+        i += 2 * n
+    return rings
+
+
+def _sorted_segs_np(pdf: pd.DataFrame, with_len: bool = True) -> np.ndarray:
+    """Cogrouped road rows → (M, 5|4) array in a pinned order (cogroup
+    delivers rows unordered; kernels with argmin ties or arrangement
+    inputs must not float run-to-run)."""
+    cols = ["x1", "y1", "x2", "y2"] + (["L"] if with_len else [])
+    if not len(pdf):
+        return np.empty((0, len(cols)))
+    return pdf.sort_values(["x1", "y1", "x2", "y2"]).reset_index(drop=True)[cols].to_numpy(
+        np.float64
+    )
+
+
 def _road_segments_pdf(roads_pdf: pd.DataFrame) -> np.ndarray:
     """(M, 5) array of (x1, y1, x2, y2, total_line_length)."""
     rows = []
@@ -562,32 +804,45 @@ def prune_edges_by_roads(
     d_edges: np.ndarray,
     road_segs: np.ndarray,
     deadend_exempt_len: float = 50.0,
+    chunk: int = 1024,
 ) -> np.ndarray:
     """Drop Delaunay edges crossing a road (X3, IB-Tool2.py:1359-72),
     keeping edges that only cross short dead-end roads (< 50 m total
-    polyline length — the reference's exemption).  Vectorized: bbox
-    prefilter per edge, then the orientation-sign crossing test."""
+    polyline length — the reference's exemption).  Fully batched: the
+    bbox prefilter is one broadcasted (edges × segments) mask per chunk
+    and ALL surviving pairs go through a single crossing test — no
+    per-edge Python iteration (a dense 5k-building partition with 10k
+    segments was ~15k scalar rounds before)."""
     if road_segs.shape[0] == 0 or d_edges.shape[0] == 0:
         return d_edges
     segs = road_segs[road_segs[:, 4] >= deadend_exempt_len]
     if segs.shape[0] == 0:
         return d_edges
-    keep = np.ones(d_edges.shape[0], dtype=bool)
+    E = d_edges.shape[0]
+    keep = np.ones(E, dtype=bool)
     sminx = np.minimum(segs[:, 0], segs[:, 2])
     smaxx = np.maximum(segs[:, 0], segs[:, 2])
     sminy = np.minimum(segs[:, 1], segs[:, 3])
     smaxy = np.maximum(segs[:, 1], segs[:, 3])
-    for i, (a, b) in enumerate(d_edges):
-        p, q = cents[int(a)], cents[int(b)]
-        lo = np.minimum(p, q)
-        hi = np.maximum(p, q)
-        cand = (sminx <= hi[0]) & (smaxx >= lo[0]) & (sminy <= hi[1]) & (smaxy >= lo[1])
-        if not cand.any():
+    P = cents[d_edges[:, 0].astype(np.int64)]
+    Q = cents[d_edges[:, 1].astype(np.int64)]
+    lo = np.minimum(P, Q)
+    hi = np.maximum(P, Q)
+    for c0 in range(0, E, chunk):
+        c1 = min(c0 + chunk, E)
+        m = (
+            (sminx[None, :] <= hi[c0:c1, 0:1])
+            & (smaxx[None, :] >= lo[c0:c1, 0:1])
+            & (sminy[None, :] <= hi[c0:c1, 1:2])
+            & (smaxy[None, :] >= lo[c0:c1, 1:2])
+        )
+        ei, sj = np.nonzero(m)
+        if not ei.size:
             continue
-        cs = segs[cand]
-        ea = np.tile(np.concatenate([p, q]), (cs.shape[0], 1))
-        if geom.segments_intersect(ea, cs[:, :4]).any():
-            keep[i] = False
+        ea = np.concatenate([P[c0 + ei], Q[c0 + ei]], axis=1)
+        hit = geom.segments_intersect(ea, segs[sj][:, :4])
+        if hit.any():
+            keep[c0 + np.unique(ei[hit])] = False
     return d_edges[keep]
 
 
@@ -641,9 +896,49 @@ def gap_fix(boundary_cells: DataFrame) -> DataFrame:
     return boundary_cells.join(labels, ["gx", "gy"], "inner")
 
 
+def _segment_cover_cells(x1, y1, x2, y2, cell_size) -> "tuple[np.ndarray, np.ndarray]":
+    """Cells whose center lies within cell_size of the segment."""
+    gx0 = int(np.floor((min(x1, x2) - cell_size) / cell_size))
+    gx1 = int(np.floor((max(x1, x2) + cell_size) / cell_size))
+    gy0 = int(np.floor((min(y1, y2) - cell_size) / cell_size))
+    gy1 = int(np.floor((max(y1, y2) + cell_size) / cell_size))
+    gxx, gyy = np.meshgrid(np.arange(gx0, gx1 + 1), np.arange(gy0, gy1 + 1))
+    gxx, gyy = gxx.ravel(), gyy.ravel()
+    _fx, _fy, d = geom.perp_foot(
+        (gxx + 0.5) * cell_size, (gyy + 0.5) * cell_size, x1, y1, x2, y2
+    )
+    near = d <= cell_size
+    return gxx[near], gyy[near]
+
+
+def road_cells_df(roads: DataFrame, cell_size: float) -> DataFrame:
+    """Distributed road rasterization: explode polylines to segments
+    (Column math), then cover each segment's cells in an Arrow-batched
+    kernel — work ∝ road length, parallel across segments; no driver
+    loop (round-2 built the cell set with a per-segment meshgrid on the
+    driver)."""
+    segs = road_segments_df(roads).select("x1", "y1", "x2", "y2")
+
+    def cover(it):
+        for pdf in it:
+            gxs, gys = [], []
+            for x1, y1, x2, y2 in pdf.to_numpy(np.float64):
+                gx, gy = _segment_cover_cells(x1, y1, x2, y2, cell_size)
+                gxs.append(gx)
+                gys.append(gy)
+            yield pd.DataFrame(
+                {
+                    "gx": np.concatenate(gxs) if gxs else np.empty(0, np.int64),
+                    "gy": np.concatenate(gys) if gys else np.empty(0, np.int64),
+                }
+            )
+
+    return segs.mapInPandas(cover, "gx long, gy long").distinct()
+
+
 def edge_catch(
     boundary_cells: DataFrame,  # (gx, gy, cluster_id)
-    roads: pd.DataFrame,  # polylines (rid, line)
+    roads: "pd.DataFrame | DataFrame",  # polylines (rid, line)
     cell_size: float,
     max_dist: float = 70.0,
 ) -> DataFrame:
@@ -653,35 +948,26 @@ def edge_catch(
     cell of a road line get annexed — the boundary 'catches' the road
     edge.  The reference's orthogonal snap-line construction reduces,
     at cell resolution, to this annex-toward-the-road rule (documented
-    simplification)."""
-    segs = _road_segments_pdf(roads)[:, :4]
+    simplification).
+
+    A Spark ``roads`` DataFrame rasterizes distributively
+    (road_cells_df); a pandas one keeps the small-scene driver loop."""
     k = int(np.ceil(max_dist / cell_size))
     spark = boundary_cells.sparkSession
 
-    # Road cells: every cell whose center is within cell_size of a road
-    # segment (same geom.perp_foot criterion as the per-cluster scan
-    # this replaces).  Computed once from the roads table — with a
-    # DataFrame roads input this becomes a distributed rasterize; the
-    # pandas input here mirrors the reference's per-partition road
-    # subset, which is broadcast-small.
-    road_cells: set[tuple[int, int]] = set()
-    for x1, y1, x2, y2 in segs:
-        gx0 = int(np.floor((min(x1, x2) - cell_size) / cell_size))
-        gx1 = int(np.floor((max(x1, x2) + cell_size) / cell_size))
-        gy0 = int(np.floor((min(y1, y2) - cell_size) / cell_size))
-        gy1 = int(np.floor((max(y1, y2) + cell_size) / cell_size))
-        gxx, gyy = np.meshgrid(np.arange(gx0, gx1 + 1), np.arange(gy0, gy1 + 1))
-        gxx, gyy = gxx.ravel(), gyy.ravel()
-        _fx, _fy, d = geom.perp_foot(
-            (gxx + 0.5) * cell_size, (gyy + 0.5) * cell_size, x1, y1, x2, y2
+    if not isinstance(roads, pd.DataFrame):
+        road_df = road_cells_df(roads, cell_size)
+    else:
+        segs = _road_segments_pdf(roads)[:, :4]
+        road_cells: set[tuple[int, int]] = set()
+        for x1, y1, x2, y2 in segs:
+            gx, gy = _segment_cover_cells(x1, y1, x2, y2, cell_size)
+            road_cells.update(zip(gx.tolist(), gy.tolist()))
+        if not road_cells:
+            return boundary_cells.select("gx", "gy", "cluster_id").distinct()
+        road_df = spark.createDataFrame(
+            pd.DataFrame(sorted(road_cells), columns=["gx", "gy"]), "gx long, gy long"
         )
-        near = d <= cell_size
-        road_cells.update(zip(gxx[near].tolist(), gyy[near].tolist()))
-    if not road_cells:
-        return boundary_cells.select("gx", "gy", "cluster_id").distinct()
-    road_df = spark.createDataFrame(
-        pd.DataFrame(sorted(road_cells), columns=["gx", "gy"]), "gx long, gy long"
-    )
 
     # candidates: k-ring dilation per cluster minus the cluster's own
     # cells — shuffle ∝ boundary cells × ring size, aggregated by
@@ -701,7 +987,9 @@ def edge_catch(
         .distinct()
         .join(base, ["gx", "gy", "cluster_id"], "left_anti")
     )
-    annexed = cand.join(F.broadcast(road_df), ["gx", "gy"], "left_semi")
+    # no broadcast hint: a continent-scale road raster may not fit one
+    # executor — AQE still broadcasts it when it is small
+    annexed = cand.join(road_df, ["gx", "gy"], "left_semi")
     return base.unionByName(annexed).distinct()
 
 
@@ -782,7 +1070,7 @@ def full_delineation(
     )
     bp = bp.filter(F.col("part_name").isNotNull()).withColumnRenamed("part_name", "part")
 
-    roads = synth.roads_pdf()[["rid", "line"]] if use_roads else None
+    roads = synth.roads_df(spark).select("rid", "line") if use_roads else None
     clustered = mst_cluster(bp, coverage_thresh=coverage_thresh, roads=roads)
     # AddSinglBdg (IB-Tool2.py:1649-1702): large detached buildings that
     # fell outside every dense partition become their own clusters
@@ -878,34 +1166,97 @@ def _blocker_kernel(
 
 def blocker(
     buildings: DataFrame,  # (cx, cy, part)
-    partitions: pd.DataFrame,  # (part, rings) — one polygon per partition
-    roads: "pd.DataFrame | None" = None,  # (rid, line) polylines
+    partitions: "pd.DataFrame | DataFrame",  # (part, rings) — one polygon per partition
+    roads: "pd.DataFrame | DataFrame | None" = None,  # (rid, line) polylines
+    road_cell: float = 1024.0,
 ) -> DataFrame:
     """Exact Blocker: per-partition city blocks from the planar
     arrangement of the partition outline and the road network, with
     building-less blocks dropped.  applyInPandas per partition — the
-    same per-partition scope as the reference's Blocker calls."""
-    road_segs = (
-        _road_segments_pdf(roads)[:, :4] if roads is not None else np.empty((0, 4))
-    )
-    part_map = {
-        str(r.part): [np.asarray(x, dtype=np.float64) for x in r.rings]
-        for r in partitions.itertuples()
-    }
+    same per-partition scope as the reference's Blocker calls.
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        part = str(pdf["part"].iloc[0])
-        rings = part_map.get(part)
+    Pass ``partitions``/``roads`` as Spark DataFrames for the scale
+    path: outlines and the partition's own road subset (coarse-cell
+    bbox join) cogroup into the kernel, so no task carries the whole
+    road network or partition table."""
+    if isinstance(partitions, pd.DataFrame):
+        if roads is not None and not isinstance(roads, pd.DataFrame):
+            raise TypeError("pandas partitions require pandas roads")
+        road_segs = (
+            _road_segments_pdf(roads)[:, :4] if roads is not None else np.empty((0, 4))
+        )
+        part_map = {
+            str(r.part): [np.asarray(x, dtype=np.float64) for x in r.rings]
+            for r in partitions.itertuples()
+        }
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            part = str(pdf["part"].iloc[0])
+            rings = part_map.get(part)
+            cols = ["part", "block_id", "rings", "area", "n_buildings"]
+            if rings is None:
+                return pd.DataFrame(columns=cols)
+            rows = _blocker_kernel(
+                part, rings, road_segs, pdf["cx"].to_numpy(np.float64), pdf["cy"].to_numpy(np.float64)
+            )
+            return pd.DataFrame(rows, columns=cols)
+
+        return buildings.select("cx", "cy", "part").groupBy("part").applyInPandas(
+            run, BLOCK_SCHEMA
+        )
+
+    # ---- DataFrame partitions/roads: cogrouped subsets ----
+    spark = buildings.sparkSession
+    if isinstance(roads, pd.DataFrame):
+        roads = spark.createDataFrame(roads[["rid", "line"]])
+    keys_bbox = _rings_bbox_cols(
+        partitions.select(F.col("part").alias("kid"), "rings"), "k"
+    ).select("kid", "kminx", "kminy", "kmaxx", "kmaxy")
+    packed = partitions.select(
+        F.col("part").alias("kid"),
+        F.lit("outline").alias("kind"),
+        F.lit(0.0).alias("x1"),
+        F.lit(0.0).alias("y1"),
+        F.lit(0.0).alias("x2"),
+        F.lit(0.0).alias("y2"),
+        _flat_rings_col().alias("coords"),
+    )
+    if roads is not None:
+        roadsub = _segments_for_keys(
+            keys_bbox, road_segments_df(roads), "kid", pad=0.0, cell=road_cell
+        )
+        packed = packed.unionByName(
+            roadsub.select(
+                "kid",
+                F.lit("road").alias("kind"),
+                "x1",
+                "y1",
+                "x2",
+                "y2",
+                F.expr("CAST(array() AS array<double>)").alias("coords"),
+            )
+        )
+
+    def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         cols = ["part", "block_id", "rings", "area", "n_buildings"]
-        if rings is None:
+        if not len(left) or not len(right):
             return pd.DataFrame(columns=cols)
+        outl = right[right["kind"] == "outline"]
+        if not len(outl):
+            return pd.DataFrame(columns=cols)
+        part = str(left["part"].iloc[0])
+        rings = _decode_flat_rings(outl["coords"].iloc[0])
+        road_segs = _sorted_segs_np(right[right["kind"] == "road"], with_len=False)
         rows = _blocker_kernel(
-            part, rings, road_segs, pdf["cx"].to_numpy(np.float64), pdf["cy"].to_numpy(np.float64)
+            part, rings, road_segs, left["cx"].to_numpy(np.float64), left["cy"].to_numpy(np.float64)
         )
         return pd.DataFrame(rows, columns=cols)
 
-    return buildings.select("cx", "cy", "part").groupBy("part").applyInPandas(
-        run, BLOCK_SCHEMA
+    return (
+        buildings.select("cx", "cy", "part")
+        .groupBy("part")
+        .cogroup(packed.groupBy("kid"))
+        .applyInPandas(run_cg, BLOCK_SCHEMA)
     )
 
 
@@ -986,7 +1337,10 @@ def _edge_catch_group_kernel(
         if bdg_x.shape[0] == 0 or not geom.points_in_polygon(bdg_x, bdg_y, face).any():
             continue
         pieces = [face]
-        if block_polys:
+        if block_polys is not None:
+            # blocks table provided: faces live only inside blocks — an
+            # empty subset clips everything away, exactly like looping a
+            # full block table that never intersects this face
             pieces = []
             for bp in block_polys:
                 inter = boolean.polygon_boolean(face, bp, "and")
@@ -1003,51 +1357,143 @@ EDGE_CATCH_SCHEMA = (
 )
 
 
+def _ec_rows_pdf(cid, rings_list, road_segs, bx, by, block_polys, max_dist):
+    pieces = _edge_catch_group_kernel(rings_list, road_segs, bx, by, block_polys, max_dist)
+    return pd.DataFrame(
+        [
+            {
+                "cluster_id": cid,
+                "piece": k,
+                "rings": [r.tolist() for r in piece],
+                "area": geom.polygon_area(piece),
+            }
+            for k, piece in enumerate(pieces)
+        ],
+        columns=["cluster_id", "piece", "rings", "area"],
+    )
+
+
 def edge_catch_exact(
     boundaries: DataFrame,  # (cluster_id, rings)
     buildings: DataFrame,  # (cluster_id, cx, cy)
-    roads: pd.DataFrame,  # (rid, line)
-    blocks: "pd.DataFrame | None" = None,  # (rings) polygons
+    roads: "pd.DataFrame | DataFrame",  # (rid, line)
+    blocks: "pd.DataFrame | DataFrame | None" = None,  # (rings) / (block_id, rings)
     max_dist: float = 70.0,
+    road_cell: float = 1024.0,
 ) -> DataFrame:
     """Exact EdgeCatch over cluster boundary polygons: one
     applyInPandas group per cluster (the reference iterates grouped
-    boundaries one FID at a time); roads/blocks ride along as
-    broadcast-sized closures like the reference's per-partition road
-    subset."""
-    road_segs = _road_segments_pdf(roads)[:, :4]
-    block_polys = (
-        [[np.asarray(r, dtype=np.float64) for r in b.rings] for b in blocks.itertuples()]
-        if blocks is not None
-        else None
+    boundaries one FID at a time).
+
+    Pass ``roads`` (rid, line) and ``blocks`` (block_id, rings) as
+    Spark DataFrames for the scale path: each cluster cogroups with its
+    OWN road subset (boundary bbox padded by ``max_dist`` — every
+    nearest-within-max_dist segment and every snap-line-touched segment
+    provably lies in it) and its own block subset (assigned against the
+    bbox EXTENDED by the road subset, since snapped faces can stretch
+    along a touched road).  pandas inputs keep the small-scene closure
+    path."""
+    if isinstance(roads, pd.DataFrame):
+        road_segs = _road_segments_pdf(roads)[:, :4]
+        block_polys = (
+            [[np.asarray(r, dtype=np.float64) for r in b.rings] for b in blocks.itertuples()]
+            if blocks is not None
+            else None
+        )
+        joined = boundaries.select("cluster_id", "rings").join(
+            buildings.select("cluster_id", "cx", "cy"), "cluster_id", "left"
+        )
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            cid = int(pdf["cluster_id"].iloc[0])
+            rings = [
+                np.vstack([np.asarray(p, dtype=np.float64) for p in ring])
+                for ring in pdf["rings"].iloc[0]
+            ]
+            bx = pdf["cx"].dropna().to_numpy(np.float64)
+            by = pdf["cy"].dropna().to_numpy(np.float64)
+            return _ec_rows_pdf(cid, rings, road_segs, bx, by, block_polys, max_dist)
+
+        return joined.groupBy("cluster_id").applyInPandas(run, EDGE_CATCH_SCHEMA)
+
+    # ---- DataFrame roads/blocks: per-cluster cogrouped subsets ----
+    has_blocks = blocks is not None
+    keys_bbox = _rings_bbox_cols(
+        boundaries.select(F.col("cluster_id").alias("kid"), "rings"), "k"
+    ).select("kid", "kminx", "kminy", "kmaxx", "kmaxy")
+    roadsub = _segments_for_keys(
+        keys_bbox, road_segments_df(roads), "kid", pad=max_dist, cell=road_cell
     )
+    packed = roadsub.select(
+        "kid",
+        F.lit("road").alias("kind"),
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        F.lit(-1).cast("long").alias("block_id"),
+        F.expr("CAST(array() AS array<double>)").alias("coords"),
+    )
+    if has_blocks:
+        # faces can stretch along any subset road segment, so blocks are
+        # matched against the bbox extended by the road subset extents
+        ext = roadsub.groupBy("kid").agg(
+            F.min(F.least("x1", "x2")).alias("rminx"),
+            F.min(F.least("y1", "y2")).alias("rminy"),
+            F.max(F.greatest("x1", "x2")).alias("rmaxx"),
+            F.max(F.greatest("y1", "y2")).alias("rmaxy"),
+        )
+        kb2 = keys_bbox.join(ext, "kid", "left").select(
+            "kid",
+            F.least("kminx", F.coalesce("rminx", "kminx")).alias("kminx"),
+            F.least("kminy", F.coalesce("rminy", "kminy")).alias("kminy"),
+            F.greatest("kmaxx", F.coalesce("rmaxx", "kmaxx")).alias("kmaxx"),
+            F.greatest("kmaxy", F.coalesce("rmaxy", "kmaxy")).alias("kmaxy"),
+        )
+        blocksub = _polys_for_keys(kb2, blocks, "kid", pad=0.0, cell=road_cell)
+        packed = packed.unionByName(
+            blocksub.select(
+                "kid",
+                F.lit("block").alias("kind"),
+                F.lit(0.0).alias("x1"),
+                F.lit(0.0).alias("y1"),
+                F.lit(0.0).alias("x2"),
+                F.lit(0.0).alias("y2"),
+                "block_id",
+                _flat_rings_col().alias("coords"),
+            )
+        )
+
     joined = boundaries.select("cluster_id", "rings").join(
         buildings.select("cluster_id", "cx", "cy"), "cluster_id", "left"
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = int(pdf["cluster_id"].iloc[0])
+    def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cluster_id", "piece", "rings", "area"]
+        if not len(left):
+            return pd.DataFrame(columns=cols)
+        cid = int(left["cluster_id"].iloc[0])
         rings = [
             np.vstack([np.asarray(p, dtype=np.float64) for p in ring])
-            for ring in pdf["rings"].iloc[0]
+            for ring in left["rings"].iloc[0]
         ]
-        bx = pdf["cx"].dropna().to_numpy(np.float64)
-        by = pdf["cy"].dropna().to_numpy(np.float64)
-        pieces = _edge_catch_group_kernel(rings, road_segs, bx, by, block_polys, max_dist)
-        return pd.DataFrame(
-            [
-                {
-                    "cluster_id": cid,
-                    "piece": k,
-                    "rings": [r.tolist() for r in piece],
-                    "area": geom.polygon_area(piece),
-                }
-                for k, piece in enumerate(pieces)
-            ],
-            columns=["cluster_id", "piece", "rings", "area"],
-        )
+        bx = left["cx"].dropna().to_numpy(np.float64)
+        by = left["cy"].dropna().to_numpy(np.float64)
+        rd = right[right["kind"] == "road"] if len(right) else right
+        road_segs = _sorted_segs_np(rd, with_len=False)
+        bp = None
+        if has_blocks:
+            bp = []
+            if len(right):
+                bl = right[right["kind"] == "block"].sort_values("block_id")
+                bp = [_decode_flat_rings(c) for c in bl["coords"]]
+        return _ec_rows_pdf(cid, rings, road_segs, bx, by, bp, max_dist)
 
-    return joined.groupBy("cluster_id").applyInPandas(run, EDGE_CATCH_SCHEMA)
+    return (
+        joined.groupBy("cluster_id")
+        .cogroup(packed.groupBy("kid"))
+        .applyInPandas(run_cg, EDGE_CATCH_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1222,7 +1668,7 @@ def full_delineation_exact(
         b.withColumn("x", F.col("cx")).withColumn("y", F.col("cy")), parts, 150.0
     ).filter(F.col("part_name").isNotNull()).withColumnRenamed("part_name", "part")
 
-    roads = synth.roads_pdf()[["rid", "line"]] if use_roads else None
+    roads = synth.roads_df(spark).select("rid", "line") if use_roads else None
     clustered = mst_cluster(bp, coverage_thresh=coverage_thresh, roads=roads)
     joined = b.join(clustered.select("bid", "cluster_id"), "bid")
     rects = rect_merge(joined)
@@ -1287,13 +1733,56 @@ def patch_remove_exact(
 GAP_CLOSE_SCHEMA = "id long, rings array<array<array<double>>>, area double"
 
 
+def _gap_close_kernel(
+    fid: int,
+    rings: list[np.ndarray],
+    block_polys: list[list[np.ndarray]],
+    max_hole: float,
+    max_gap: float,
+    gap_dist: float,
+    shared_pct: float,
+) -> pd.DataFrame:
+    from . import boolean
+
+    poly = geom.close_holes(rings, max_hole)
+    minx, miny, maxx, maxy = geom.rings_bbox(poly)
+    for bp in block_polys:
+        bminx, bminy, bmaxx, bmaxy = geom.rings_bbox(bp)
+        if bmaxx < minx or maxx < bminx or bmaxy < miny or maxy < bminy:
+            continue
+        gaps = boolean.polygon_boolean(bp, poly, "not")
+        # singlepart: each positive face of the remainder is a
+        # candidate gap (polygonize on its own edges splits parts)
+        for piece in geom.polygonize(geom._rings_edges(gaps)) if gaps else []:
+            a = geom.polygon_area(piece)
+            if a <= 0.0 or a >= max_gap:
+                continue
+            per = geom.polygon_perimeter(piece)
+            if per <= 0.0:
+                continue
+            shared = geom.shared_boundary_length(piece, poly)
+            if shared / per * 100.0 >= shared_pct:
+                poly = boolean.polygon_boolean(poly, piece, "or")
+    if gap_dist > 0.0:  # distance 0 = no morphological closing
+        poly = geom.close_polygon(poly, gap_dist)
+    poly = geom.close_holes(poly, max_hole)
+    return pd.DataFrame(
+        {
+            "id": [fid],
+            "rings": [[r.tolist() for r in poly]],
+            "area": [geom.polygon_area(poly)],
+        }
+    )
+
+
 def gap_close_exact(
     boundaries: DataFrame,  # (id, rings)
-    blocks: "pd.DataFrame | None" = None,  # (rings) block polygons
+    blocks: "pd.DataFrame | DataFrame | None" = None,  # (rings) / (block_id, rings)
     max_hole: float = 1000.0,
     max_gap: float = 2000.0,
     gap_dist: float = 30.0,
     shared_pct: float = 70.0,
+    road_cell: float = 1024.0,
 ) -> DataFrame:
     """Exact GapClose (IB-Tool2.py:1752-1901), one applyInPandas group
     per boundary feature:
@@ -1306,8 +1795,57 @@ def gap_close_exact(
     3. double-buffer morphological closing by ``gap_dist``
        (geom.close_polygon);
     4. HoleClose again.
-    """
-    from . import boolean
+
+    Pass ``blocks`` as a Spark DataFrame (block_id, rings) for the
+    scale path: each boundary cogroups with ONLY the blocks whose bbox
+    overlaps its own (extended once by the first-tier subset's extents,
+    since gap fills can grow the boundary into a neighboring block's
+    reach), iterated in block_id order.  A pandas blocks table keeps
+    the small-scene closure path (iterated in row order)."""
+    if blocks is not None and not isinstance(blocks, pd.DataFrame):
+        # ---- DataFrame blocks: per-boundary cogrouped subset ----
+        keys_bbox = _rings_bbox_cols(
+            boundaries.select(F.col("id").alias("kid"), "rings"), "k"
+        ).select("kid", "kminx", "kminy", "kmaxx", "kmaxy")
+        tier1 = _polys_for_keys(keys_bbox, blocks, "kid", pad=0.0, cell=road_cell)
+        t1b = _rings_bbox_cols(tier1.select("kid", "rings"), "p").groupBy("kid").agg(
+            F.min("pminx").alias("rminx"),
+            F.min("pminy").alias("rminy"),
+            F.max("pmaxx").alias("rmaxx"),
+            F.max("pmaxy").alias("rmaxy"),
+        )
+        kb2 = keys_bbox.join(t1b, "kid", "left").select(
+            "kid",
+            F.least("kminx", F.coalesce("rminx", "kminx")).alias("kminx"),
+            F.least("kminy", F.coalesce("rminy", "kminy")).alias("kminy"),
+            F.greatest("kmaxx", F.coalesce("rmaxx", "kmaxx")).alias("kmaxx"),
+            F.greatest("kmaxy", F.coalesce("rmaxy", "kmaxy")).alias("kmaxy"),
+        )
+        blocksub = _polys_for_keys(kb2, blocks, "kid", pad=0.0, cell=road_cell).select(
+            "kid", "block_id", _flat_rings_col().alias("coords")
+        )
+
+        def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return pd.DataFrame(columns=["id", "rings", "area"])
+            fid = int(left["id"].iloc[0])
+            rings = [
+                np.vstack([np.asarray(p, dtype=np.float64) for p in ring])
+                for ring in left["rings"].iloc[0]
+            ]
+            bp = (
+                [_decode_flat_rings(c) for c in right.sort_values("block_id")["coords"]]
+                if len(right)
+                else []
+            )
+            return _gap_close_kernel(fid, rings, bp, max_hole, max_gap, gap_dist, shared_pct)
+
+        return (
+            boundaries.select("id", "rings")
+            .groupBy("id")
+            .cogroup(blocksub.groupBy("kid"))
+            .applyInPandas(run_cg, GAP_CLOSE_SCHEMA)
+        )
 
     block_polys = (
         [[np.asarray(r, dtype=np.float64) for r in b.rings] for b in blocks.itertuples()]
@@ -1321,33 +1859,8 @@ def gap_close_exact(
             np.vstack([np.asarray(p, dtype=np.float64) for p in ring])
             for ring in pdf["rings"].iloc[0]
         ]
-        poly = geom.close_holes(rings, max_hole)
-        minx, miny, maxx, maxy = geom.rings_bbox(poly)
-        for bp in block_polys:
-            bminx, bminy, bmaxx, bmaxy = geom.rings_bbox(bp)
-            if bmaxx < minx or maxx < bminx or bmaxy < miny or maxy < bminy:
-                continue
-            gaps = boolean.polygon_boolean(bp, poly, "not")
-            # singlepart: each positive face of the remainder is a
-            # candidate gap (polygonize on its own edges splits parts)
-            for piece in geom.polygonize(geom._rings_edges(gaps)) if gaps else []:
-                a = geom.polygon_area(piece)
-                if a <= 0.0 or a >= max_gap:
-                    continue
-                per = geom.polygon_perimeter(piece)
-                if per <= 0.0:
-                    continue
-                shared = geom.shared_boundary_length(piece, poly)
-                if shared / per * 100.0 >= shared_pct:
-                    poly = boolean.polygon_boolean(poly, piece, "or")
-        poly = geom.close_polygon(poly, gap_dist)
-        poly = geom.close_holes(poly, max_hole)
-        return pd.DataFrame(
-            {
-                "id": [fid],
-                "rings": [[r.tolist() for r in poly]],
-                "area": [geom.polygon_area(poly)],
-            }
+        return _gap_close_kernel(
+            fid, rings, block_polys, max_hole, max_gap, gap_dist, shared_pct
         )
 
     return boundaries.select("id", "rings").groupBy("id").applyInPandas(

@@ -789,6 +789,40 @@ def cell_components_df(cells: DataFrame, super_size: int = 256) -> DataFrame:
     return out
 
 
+def with_geom_hash(
+    df: DataFrame, rings_col: str = "rings", out: str = "geom_hash", quantum: float = 1e-6
+) -> DataFrame:
+    """Canonical geometry-identity hash per row (geom.canonical_ring_hash
+    in an Arrow batch UDF): equal ring sets — regardless of vertex start,
+    orientation, or sub-quantum float noise — get equal int64 hashes."""
+
+    @F.pandas_udf(T.LongType())
+    def h(rs: pd.Series) -> pd.Series:
+        from . import geom
+
+        return pd.Series(
+            [geom.canonical_ring_hash(_np_rings(r), quantum) for r in rs],
+            dtype=np.int64,
+        )
+
+    return df.withColumn(out, h(F.col(rings_col)))
+
+
+def identity_join(left: DataFrame, right: DataFrame, quantum: float = 1e-6) -> DataFrame:
+    """J9 — ARE_IDENTICAL_TO spatial join (IB-Tool2.py:1730-31;
+    Error_Classification.py:361-399): rows pair iff their geometries are
+    identical as point sets (vertex rotation / winding / <quantum noise
+    ignored).  Shape: per-row hash (Arrow batches, no pairwise work),
+    then a plain equi-join on the 64-bit hash — shuffles 16 bytes/row,
+    never geometry.  Input: (id, rings) on both sides; output
+    (lid, rid, geom_hash)."""
+    l = with_geom_hash(left.select(F.col("id").alias("lid"), "rings"), quantum=quantum)
+    r = with_geom_hash(right.select(F.col("id").alias("rid"), "rings"), quantum=quantum)
+    return l.select("lid", "geom_hash").join(
+        r.select("rid", "geom_hash"), "geom_hash", "inner"
+    ).select("lid", "rid", "geom_hash")
+
+
 def edge_components_df(edges: DataFrame, cap: int = 65536, max_rounds: int = 64) -> DataFrame:
     """Distributed connected components over an arbitrary (src, dst)
     edge list.  Returns (id, comp) with one row per distinct endpoint

@@ -95,13 +95,16 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.xxhash64(F.concat_ws(",", sl.cast("array<string>"))).alias("bucket"))
         )
-    exploded = sigs.select("doc_id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # keys-only self-join: the signature arrays stay OUT of the pair
+    # shuffle (they re-attach by id after the dedup — same pattern as
+    # ops._overlay_pairs), so each side moves (band, bucket, doc_id)
+    exploded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     exploded = _cap_buckets(exploded, ["band", "bucket"], max_bucket)
     a = exploded.alias("a")
     b = exploded.alias("b")
-    pairs = (
+    ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -111,10 +114,13 @@ def lsh_candidate_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = ids.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
     )
     matches = F.size(
         F.filter(
@@ -177,7 +183,6 @@ def simhash_near_dups(
     # band with good probability; standard simhash blocking
     banded = sh.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -191,10 +196,12 @@ def simhash_near_dups(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    ).select("doc_id", "bb.band", "bb.key")
     banded = _cap_buckets(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    # keys-only pair join (the 64-bit hash re-attaches by id after the
+    # dedup, keeping the self-join shuffle to (band, key, doc_id))
+    ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -204,9 +211,17 @@ def simhash_near_dups(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = (
+        ids.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
 
@@ -321,7 +336,6 @@ def embedding_near_dups(
     bits_per_band = n_planes // bands
     banded = sigs.select(
         F.col("vec_id"),
-        F.col("embedding"),
         F.explode(
             F.array(
                 *[
@@ -335,10 +349,12 @@ def embedding_near_dups(
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "embedding", "bb.band", "bb.key")
+    ).select("vec_id", "bb.band", "bb.key")
     banded = _cap_buckets(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    # keys-only pair join; embeddings re-attach by id after the dedup so
+    # the self-join never shuffles the vectors
+    ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -348,10 +364,13 @@ def embedding_near_dups(
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = ids.join(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")), "id_a"
+    ).join(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")), "id_b"
     )
 
     @F.pandas_udf(T.DoubleType())
@@ -372,8 +391,16 @@ def embedding_near_dups(
 
 def ivf_centroids(emb: DataFrame, dim: int, n_cells: int = 16, sample: int = 2048, iters: int = 5, seed: int = 11) -> np.ndarray:
     """Deterministic k-means-lite coarse quantizer trained on a sample
-    (driver-side numpy; the sample is tiny relative to the table)."""
-    pdf = emb.select("embedding").limit(sample).toPandas()
+    (driver-side numpy; the sample is tiny relative to the table).
+    Sampled by hash order, not first rows — `.limit` alone would train
+    on whatever partition happens to be scanned first."""
+    pdf = (
+        emb.select("embedding", F.xxhash64(F.col("vec_id").cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(sample)
+        .select("embedding")
+        .toPandas()
+    )
     X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(X.shape[0], n_cells, replace=False)]
@@ -408,8 +435,8 @@ def ivf_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """ANN top-k for one query: probe the n_probe nearest IVF lists,
-    exact dot product inside them (partition-pruned scan at scale when
-    the table is written partitioned by ivf_cell)."""
+    exact dot product inside them (partition-pruned scan when
+    ``emb_assigned`` was read from an ivf_write layout)."""
     d = ((centroids - query[None, :]) ** 2).sum(axis=1)
     probe = np.argsort(d)[:n_probe].tolist()
     qlit = F.array(*[F.lit(float(v)) for v in query])
@@ -421,3 +448,22 @@ def ivf_topk(
         .orderBy(F.col("dot").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ivf_write(emb_assigned: DataFrame, path: str) -> None:
+    """Materialize the IVF layout: parquet partitioned by ivf_cell, one
+    shuffle so each list lands in few files.  A probe that filters
+    ivf_cell then scans ONLY the probed directories (PartitionFilters
+    in the plan) — at 100 TB an n_probe=4/1024 query touches ~0.4% of
+    the bytes."""
+    (
+        emb_assigned.repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+
+
+def ivf_read(spark, path: str) -> DataFrame:
+    """Open an ivf_write layout for ivf_topk (partition-pruned)."""
+    return spark.read.parquet(path)

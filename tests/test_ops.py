@@ -205,3 +205,23 @@ def test_hex_ops_match_numpy(spark, ids, points_df):
             expect[key] += cnt
     got_map = {int(r_.hex_cell): int(r_.nsum) for r_ in dens.itertuples()}
     assert got_map == dict(expect)
+
+
+def test_identity_join_matches_rotated_reversed(spark):
+    # J9: same point set under rotation/winding/sub-quantum noise pairs;
+    # a 0.5 m shift does not
+    from ib_tool_spark import geom
+
+    r = geom.rect_ring(10.0, 5.0, 8.0, 4.0, 0.7)
+    rot = np.roll(r, 2, axis=0)[::-1]  # rotated start + reversed winding
+    noisy = rot + 1e-9  # below the 1e-6 quantum
+    shifted = r + np.array([0.5, 0.0])
+    left = spark.createDataFrame(
+        [(0, [r.tolist()])], "id long, rings array<array<array<double>>>"
+    )
+    right = spark.createDataFrame(
+        [(10, [rot.tolist()]), (11, [noisy.tolist()]), (12, [shifted.tolist()])],
+        "id long, rings array<array<array<double>>>",
+    )
+    got = sorted((x.lid, x.rid) for x in ops.identity_join(left, right).collect())
+    assert got == [(0, 10), (0, 11)]
