@@ -77,6 +77,26 @@ def density_partitions(
     return pdf.sort_values(["gx", "gy"]).reset_index(drop=True)
 
 
+def partition_outlines(parts: DataFrame, cell_size: float = 150.0) -> DataFrame:
+    """(part, rings): each density partition's cell set traced to its
+    outline polygon (the reference converts the partition raster to an
+    outline before Blocker, IB-Tool2.py:2489).  One bounded trace per
+    partition via applyInPandas."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = str(pdf["part_name"].iloc[0])
+        rings = geom.trace_cell_boundary(
+            pdf["gx"].to_numpy(np.int64), pdf["gy"].to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {"part": [part], "rings": [[(r * cell_size).tolist() for r in rings]]}
+        )
+
+    return parts.groupBy("part_name").applyInPandas(
+        run, "part string, rings array<array<array<double>>>"
+    )
+
+
 def assign_partitions_df(
     points: DataFrame, parts: DataFrame, cell_size: float = 150.0
 ) -> DataFrame:
@@ -1643,17 +1663,28 @@ def full_delineation_exact(
     coverage_thresh: float = 12.0,
     min_bdg_count: int = 5,
     use_roads: bool = True,
+    use_blocks: bool = True,
+    use_edge_catch: bool = True,
+    use_gap_close: bool = True,
+    gap_dist: float = 30.0,
 ) -> DataFrame:
-    """The reference main() in EXACT geometry end-to-end
-    (IB-Tool2.py:2401-2650): InputHU_Filter → density partitioning →
-    MST clustering → Rect_Merge (MainAngle rectangles) → AddSinglBdg
-    (detached >300 m² footprints join as their own geometry) →
-    Dissolve SINGLE_PART (exact boolean union) → PatchRemove
-    (min building count with density rescue).  The cell-resolution
-    :func:`full_delineation` remains the raster-pipeline twin.
+    """The reference main() in EXACT geometry end-to-end, in the
+    reference's own stage order (IB-Tool2.py:2401-2650, SURVEY.md:336):
+    InputHU_Filter → density partitioning → Blocker (partition outline ∪
+    roads → city blocks) → MST clustering → Rect_Merge (MainAngle
+    rectangles) → AddSinglBdg → EdgeCatch (snap merged rectangles to
+    roads, clip to blocks) → Dissolve SINGLE_PART (exact boolean union)
+    → GapClose (block-gap fill + morphological closing; includes
+    HoleClose) → PatchRemove (min building count with real-area overlap
+    rescue).  GapFix needs no separate stage: the dissolve is global,
+    not per-partition.  The cell-resolution :func:`full_delineation`
+    remains the raster-pipeline twin.
 
-    Returns one row per dissolved boundary: (boundary_id, n_parts,
-    n_buildings, area)."""
+    Every roads/blocks input rides the cogrouped-DataFrame scale path —
+    no stage broadcasts the road network or block table into closures.
+
+    Returns one row per boundary: (boundary_id, n_parts, n_buildings,
+    area)."""
     from . import synth
     from .config import filter_predicate
 
@@ -1669,8 +1700,29 @@ def full_delineation_exact(
     ).filter(F.col("part_name").isNotNull()).withColumnRenamed("part_name", "part")
 
     roads = synth.roads_df(spark).select("rid", "line") if use_roads else None
+
+    # Blocker (IB-Tool2.py:2489, 645-681): city blocks per partition
+    # from the outline ∪ road arrangement; global deterministic ids
+    # each stage output is output-scale (hundreds of rows); eager
+    # localCheckpoints cut the lineage so the branching self-joins
+    # downstream (dissolve pairs, gap-close cogroup) never recompute
+    # the whole upstream chain per branch (measured 420 s → ~40 s)
+    bp = bp.localCheckpoint(eager=True)
+    blocks = None
+    if use_blocks and roads is not None:
+        outlines = partition_outlines(parts, 150.0)
+        blocks = (
+            blocker(bp.select("cx", "cy", "part"), outlines, roads)
+            .select(
+                F.xxhash64(F.col("part"), F.col("block_id")).alias("block_id"), "rings"
+            )
+            .localCheckpoint(eager=True)
+        )
+
     clustered = mst_cluster(bp, coverage_thresh=coverage_thresh, roads=roads)
-    joined = b.join(clustered.select("bid", "cluster_id"), "bid")
+    joined = b.join(clustered.select("bid", "cluster_id"), "bid").localCheckpoint(
+        eager=True
+    )
     rects = rect_merge(joined)
 
     # AddSinglBdg: detached >300 m² footprints become their own
@@ -1681,11 +1733,44 @@ def full_delineation_exact(
         .select("bid", F.col("bid").alias("cluster_id"), "rings")
     )
     single_rects = rect_merge(singles)
-    all_rects = rects.unionByName(single_rects)
+    all_rects = rects.unionByName(single_rects).localCheckpoint(eager=True)
+
+    # EdgeCatch on the merged rectangles (IB-Tool2.py:2501-05 runs it
+    # before the dissolve); pieces join the rectangle set under fresh
+    # deterministic ids
+    to_dissolve = all_rects.select(F.col("cluster_id").alias("id"), "rings")
+    if use_edge_catch and roads is not None:
+        bcl = joined.select("cluster_id", "cx", "cy").unionByName(
+            b.join(singles.select("bid"), "bid").select(
+                F.col("bid").alias("cluster_id"), "cx", "cy"
+            )
+        )
+        pieces = edge_catch_exact(
+            all_rects.select("cluster_id", "rings"), bcl, roads, blocks=blocks
+        )
+        to_dissolve = to_dissolve.unionByName(
+            pieces.select(
+                F.xxhash64(F.col("cluster_id"), F.col("piece")).alias("id"), "rings"
+            )
+        )
 
     dissolved = dissolve_polygons(
-        all_rects.select(F.col("cluster_id").alias("id"), "rings"), cell=512.0
-    )
+        to_dissolve.localCheckpoint(eager=True), cell=512.0
+    ).localCheckpoint(eager=True)
+
+    # GapClose (IB-Tool2.py:2513): hole fill + block-gap annex +
+    # double-buffer closing on each dissolved boundary
+    if use_gap_close:
+        closed = gap_close_exact(
+            dissolved.select(F.col("comp").alias("id"), "rings"),
+            blocks,
+            gap_dist=gap_dist,
+        )
+        dissolved = (
+            closed.select(F.col("id").alias("comp"), "rings", "area")
+            .join(dissolved.select("comp", "n_parts"), "comp")
+            .localCheckpoint(eager=True)  # PatchRemove branches it 3×
+        )
 
     return patch_remove_exact(dissolved, b, min_bdg_count).orderBy("boundary_id")
 
@@ -1695,32 +1780,75 @@ def patch_remove_exact(
     buildings: DataFrame,  # (bid, cx, cy, area)
     min_bdg_count: int = 5,
     min_overlap_pct: float = 15.0,
+    cell: float = 512.0,
 ) -> DataFrame:
-    """PatchRemove (IB-Tool2.py:2197-2245): building count per dissolved
-    boundary via PIP of footprint centroids (boundaries are output-scale
-    → broadcast cover join), with the overlap rescue on REAL footprint
-    area — the reference sums actual Shape_Area; a mean-footprint
-    constant misfires for systematically large/small buildings."""
-    polys_pdf = dissolved.select("comp", "rings").toPandas()
-    polygons = [
-        (int(r.comp), f"B_{r.comp}", [geom.coerce_ring(x).tolist() for x in r.rings])
-        for r in polys_pdf.itertuples()
-    ]
-    pts = ops.with_cell(
-        buildings.select("bid", F.col("cx").alias("x"), F.col("cy").alias("y"), "area"), 10
+    """PatchRemove (IB-Tool2.py:2197-2245): building count per boundary
+    via PIP of footprint centroids, with the overlap rescue on REAL
+    footprint area (the reference sums actual Shape_Area; a
+    mean-footprint constant misfires for systematically large/small
+    buildings).
+
+    Fully distributed: buildings route to candidate boundaries by a
+    coarse-cell bbox join, each boundary cogroups with its candidate
+    buildings, and one vectorized even-odd test per group settles the
+    counts — the boundary rings never collect to the driver (gap-closed
+    boundaries carry hundreds of arc vertices each; the round-2
+    driver-side cover build took minutes on them)."""
+    keys_bbox = _rings_bbox_cols(
+        dissolved.select(F.col("comp").alias("kid"), "rings"), "k"
+    ).select("kid", "kminx", "kminy", "kmaxx", "kmaxy")
+    kc = keys_bbox.withColumn(
+        "cgx",
+        F.explode(
+            F.sequence(F.floor(F.col("kminx") / F.lit(cell)), F.floor(F.col("kmaxx") / F.lit(cell)))
+        ),
+    ).withColumn(
+        "cgy",
+        F.explode(
+            F.sequence(F.floor(F.col("kminy") / F.lit(cell)), F.floor(F.col("kmaxy") / F.lit(cell)))
+        ),
     )
-    counts = (
-        ops.pip_join(pts, polygons, 10)
-        .groupBy("sid")
-        .agg(
-            F.count(F.lit(1)).alias("n_buildings"),
-            F.sum("area").alias("bdg_area"),
+    pts = (
+        buildings.select("bid", "cx", "cy", "area")
+        .withColumn("cgx", F.floor(F.col("cx") / F.lit(cell)))
+        .withColumn("cgy", F.floor(F.col("cy") / F.lit(cell)))
+    )
+    cand = (
+        pts.join(kc, ["cgx", "cgy"])
+        .filter(
+            (F.col("cx") >= F.col("kminx"))
+            & (F.col("cx") <= F.col("kmaxx"))
+            & (F.col("cy") >= F.col("kminy"))
+            & (F.col("cy") <= F.col("kmaxy"))
         )
-        .withColumnRenamed("sid", "comp")
+        .select("kid", "bid", "cx", "cy", "area")
+    )
+    right = dissolved.select(F.col("comp").alias("kid"), _flat_rings_col().alias("coords"))
+
+    def run_cg(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {"comp": "int64", "n_buildings": "int64", "bdg_area": "float64"}
+        if not len(left) or not len(right_pdf):
+            return pd.DataFrame({k: pd.Series(dtype=v) for k, v in cols.items()})
+        rings = _decode_flat_rings(right_pdf["coords"].iloc[0])
+        inside = geom.points_in_polygon(
+            left["cx"].to_numpy(np.float64), left["cy"].to_numpy(np.float64), rings
+        )
+        return pd.DataFrame(
+            {
+                "comp": [int(left["kid"].iloc[0])],
+                "n_buildings": [int(inside.sum())],
+                "bdg_area": [float(left["area"].to_numpy(np.float64)[inside].sum())],
+            }
+        )
+
+    counts = (
+        cand.groupBy("kid")
+        .cogroup(right.groupBy("kid"))
+        .applyInPandas(run_cg, "comp long, n_buildings long, bdg_area double")
     )
     stats = dissolved.join(counts, "comp", "left").fillna(0, ["n_buildings", "bdg_area"])
     keep = (F.col("n_buildings") >= min_bdg_count) | (
-        F.col("bdg_area") / F.col("area") * 100.0 >= F.lit(min_overlap_pct)
+        F.try_divide(F.col("bdg_area"), F.col("area")) * 100.0 >= F.lit(min_overlap_pct)
     )
     return stats.filter(keep).select(
         F.col("comp").alias("boundary_id"),

@@ -31,7 +31,16 @@ def ring_area(ring: np.ndarray) -> float:
     (IB-Tool2.py:205-210); planar is exact for the projected CRS.
     """
     x, y = ring[:, 0], ring[:, 1]
-    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    # manual -1 shift: same terms and summation order as np.roll, none
+    # of its per-call machinery (this is the hottest scalar in the
+    # arrangement/union path)
+    xn = np.empty_like(x)
+    xn[:-1] = x[1:]
+    xn[-1] = x[0]
+    yn = np.empty_like(y)
+    yn[:-1] = y[1:]
+    yn[-1] = y[0]
+    return 0.5 * float(np.sum(x * yn - xn * y))
 
 
 def polygon_area(rings: list[np.ndarray]) -> float:
@@ -144,7 +153,9 @@ def _rings_edges(rings: list[np.ndarray]) -> np.ndarray:
     segs = []
     for r in rings:
         r = coerce_ring(r)
-        nxt = np.roll(r, -1, axis=0)
+        nxt = np.empty_like(r)
+        nxt[:-1] = r[1:]
+        nxt[-1] = r[0]
         segs.append(np.hstack([r, nxt]))
     return np.vstack(segs)
 
@@ -929,71 +940,206 @@ def main_angle_rect(segs: np.ndarray) -> tuple["np.ndarray | None", "float | Non
 # ---------------------------------------------------------------------------
 
 
+def _node_directed(segments: np.ndarray, snap: float) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized planar noding: split every directed segment at its
+    pairwise intersections (1e-9 quantum rounding like the boolean
+    kernel, then grid-snapped to ``snap``).  Returns ``(sub, orig)``:
+    ``sub`` (M, 4) directed subsegments in order along each source
+    segment, ``orig`` (M,) the source row index.
+
+    Proper crossings replicate boolean._find_intersections' predicates
+    exactly (same t/u tolerances, clamping, and half-even quantum
+    rounding — np.round and Python round are both correctly-rounded
+    half-to-even); exactly-parallel pairs (denom == 0.0) fall back to
+    that routine, so collinear-overlap handling is shared.  One numpy
+    pass replaces the per-pair interpreter scan that dominated large
+    capsule/arrangement unions."""
+    from .boolean import _QUANTUM, _find_intersections
+
+    segs = np.asarray(segments, dtype=np.float64)
+    # zero-length rows are points, not segments: they add no topology
+    # (the old per-pair scan let them inject spurious collinear cuts)
+    nz = (segs[:, 0] != segs[:, 2]) | (segs[:, 1] != segs[:, 3])
+    idx_map = np.nonzero(nz)[0]
+    segs = segs[nz]
+    S = segs.shape[0]
+    if S == 0:
+        return np.empty((0, 4), dtype=np.float64), np.empty((0,), dtype=np.int64)
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    minx = np.minimum(x1, x2)
+    maxx = np.maximum(x1, x2)
+    miny = np.minimum(y1, y2)
+    maxy = np.maximum(y1, y2)
+    cut_i: list[np.ndarray] = [np.arange(S), np.arange(S)]
+    cut_x: list[np.ndarray] = [x1, x2]
+    cut_y: list[np.ndarray] = [y1, y2]
+    par_pairs: list[tuple[int, int]] = []
+    # x-interval sweep: each overlapping pair is enumerated once, from
+    # the side whose minx is smaller (the other's minx falls inside its
+    # x-range) — O(S log S + hits) instead of an S×S boolean matrix
+    order = np.argsort(minx, kind="stable")
+    sminx = minx[order]
+    lo = np.searchsorted(sminx, minx, side="left")
+    hi = np.searchsorted(sminx, maxx, side="right")
+    counts = hi - lo
+    if counts.sum() > 0:
+        A = np.repeat(np.arange(S), counts)
+        flat = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) if S else np.empty(0, np.int64)
+        B = order[flat]
+        pos = np.empty(S, dtype=np.int64)
+        pos[order] = np.arange(S)
+        mk = (pos[B] > pos[A]) & (miny[B] <= maxy[A]) & (maxy[B] >= miny[A])
+        A, B = A[mk], B[mk]
+        I = np.minimum(A, B)
+        J = np.maximum(A, B)
+    else:
+        I = J = np.empty(0, dtype=np.int64)
+    if I.size:
+        dx1, dy1 = x2[I] - x1[I], y2[I] - y1[I]
+        dx2, dy2 = x2[J] - x1[J], y2[J] - y1[J]
+        denom = dx1 * dy2 - dy1 * dx2
+        prop = denom != 0.0
+        if np.any(prop):
+            Ip, Jp = I[prop], J[prop]
+            ex, ey = x1[Jp] - x1[Ip], y1[Jp] - y1[Ip]
+            t = (ex * dy2[prop] - ey * dx2[prop]) / denom[prop]
+            u = (ex * dy1[prop] - ey * dx1[prop]) / denom[prop]
+            ok = (t >= -1e-12) & (t <= 1.0 + 1e-12) & (u >= -1e-12) & (u <= 1.0 + 1e-12)
+            if np.any(ok):
+                Io, Jo = Ip[ok], Jp[ok]
+                tc = np.minimum(np.maximum(t[ok], 0.0), 1.0)
+                px = np.round((x1[Io] + tc * dx1[prop][ok]) / _QUANTUM) * _QUANTUM
+                py = np.round((y1[Io] + tc * dy1[prop][ok]) / _QUANTUM) * _QUANTUM
+                cut_i += [Io, Jo]
+                cut_x += [px, px]
+                cut_y += [py, py]
+        if not np.all(prop):
+            par_pairs += [(int(a), int(b)) for a, b in zip(I[~prop], J[~prop])]
+    for i, j in par_pairs:  # exactly-parallel: shared collinear handling
+        for px, py in _find_intersections(tuple(segs[i]), tuple(segs[j])):
+            cut_i.append(np.array([i, j]))
+            cut_x.append(np.array([px, px]))
+            cut_y.append(np.array([py, py]))
+    ci = np.concatenate(cut_i)
+    # `+ 0.0` folds -0.0 into +0.0: np.unique(axis=0) compares rows
+    # BITWISE, so a negative zero would mint phantom distinct nodes
+    sx = np.round(np.concatenate(cut_x) / snap) * snap + 0.0
+    sy = np.round(np.concatenate(cut_y) / snap) * snap + 0.0
+
+    def assemble(ci_, sx_, sy_):
+        key = (sx_ - x1[ci_]) * (x2 - x1)[ci_] + (sy_ - y1[ci_]) * (y2 - y1)[ci_]
+        order = np.lexsort((sy_, sx_, key, ci_))
+        ci_, sx_, sy_ = ci_[order], sx_[order], sy_[order]
+        dup = np.zeros(ci_.shape[0], dtype=bool)
+        dup[1:] = (ci_[1:] == ci_[:-1]) & (sx_[1:] == sx_[:-1]) & (sy_[1:] == sy_[:-1])
+        ci_, sx_, sy_ = ci_[~dup], sx_[~dup], sy_[~dup]
+        same = ci_[1:] == ci_[:-1]
+        sub_ = np.stack(
+            [sx_[:-1][same], sy_[:-1][same], sx_[1:][same], sy_[1:][same]], axis=1
+        )
+        return sub_, ci_[:-1][same]
+
+    # iterated snap rounding: a snapped cut node may land within the
+    # snap quantum of a SUBSEGMENT's interior (snapped polylines zigzag
+    # up to a quantum off the original line, so the test must run
+    # against the current subsegments, not the source segments) —
+    # without re-cutting, two near-collinear subsegments overlap
+    # without sharing endpoints and the half-edge arrangement silently
+    # corrupts.  Re-cut until stable.
+    tol = 0.6 * snap
+    have = set(zip(ci.tolist(), sx.tolist(), sy.tolist()))
+    for _pass in range(10):
+        sub, sci = assemble(ci, sx, sy)
+        if sub.shape[0] == 0:
+            break
+        uq = np.unique(
+            np.vstack([sub[:, :2], sub[:, 2:]]), axis=0
+        )
+        sminx = np.minimum(sub[:, 0], sub[:, 2])
+        smaxx = np.maximum(sub[:, 0], sub[:, 2])
+        sminy = np.minimum(sub[:, 1], sub[:, 3])
+        smaxy = np.maximum(sub[:, 1], sub[:, 3])
+        n_order = np.argsort(uq[:, 0], kind="stable")
+        nxs = uq[n_order, 0]
+        lo_n = np.searchsorted(nxs, sminx - tol, side="left")
+        hi_n = np.searchsorted(nxs, smaxx + tol, side="right")
+        cnt = hi_n - lo_n
+        if cnt.sum() == 0:
+            break
+        subi = np.repeat(np.arange(sub.shape[0]), cnt)
+        flat = np.concatenate([np.arange(l, h) for l, h in zip(lo_n, hi_n)])
+        nodes = uq[n_order[flat]]
+        npx, npy = nodes[:, 0], nodes[:, 1]
+        ax, ay = sub[subi, 0], sub[subi, 1]
+        bx, by = sub[subi, 2], sub[subi, 3]
+        dxs, dys = bx - ax, by - ay
+        L2 = np.maximum(dxs * dxs + dys * dys, 1e-300)
+        tparam = ((npx - ax) * dxs + (npy - ay) * dys) / L2
+        fx = ax + tparam * dxs
+        fy = ay + tparam * dys
+        d2 = (fx - npx) ** 2 + (fy - npy) ** 2
+        near = (
+            (d2 <= tol * tol)
+            & (tparam > 0.0)
+            & (tparam < 1.0)
+            & (npy >= sminy[subi] - tol)
+            & (npy <= smaxy[subi] + tol)
+            & ~(((npx == ax) & (npy == ay)) | ((npx == bx) & (npy == by)))
+        )
+        if not np.any(near):
+            break
+        add_i = sci[subi[near]]
+        add_x, add_y = npx[near], npy[near]
+        fresh = np.array(
+            [
+                (int(i), float(x), float(y)) not in have
+                for i, x, y in zip(add_i, add_x, add_y)
+            ],
+            dtype=bool,
+        )
+        if not np.any(fresh):
+            break
+        for i, x, y in zip(add_i[fresh], add_x[fresh], add_y[fresh]):
+            have.add((int(i), float(x), float(y)))
+        ci = np.concatenate([ci, add_i[fresh]])
+        sx = np.concatenate([sx, add_x[fresh]])
+        sy = np.concatenate([sy, add_y[fresh]])
+    sub, sci = assemble(ci, sx, sy)
+    return sub, idx_map[sci]
+
+
 def _polygonize_nodes(segments: np.ndarray, snap: float) -> list[tuple[int, int]]:
     """Split segments at all pairwise intersections (snap-rounded) and
     return unique undirected subsegment node-key pairs."""
-    from .boolean import _find_intersections
-
-    def snapped(v: float) -> float:
-        return round(v / snap) * snap
-
-    S = segments.shape[0]
-    minx = np.minimum(segments[:, 0], segments[:, 2])
-    maxx = np.maximum(segments[:, 0], segments[:, 2])
-    miny = np.minimum(segments[:, 1], segments[:, 3])
-    maxy = np.maximum(segments[:, 1], segments[:, 3])
-    cuts: list[list[tuple[float, float]]] = [
-        [(segments[i, 0], segments[i, 1]), (segments[i, 2], segments[i, 3])] for i in range(S)
+    sub, _orig = _node_directed(np.asarray(segments, dtype=np.float64), snap)
+    if sub.shape[0] == 0:
+        return []
+    swap = (sub[:, 0] > sub[:, 2]) | ((sub[:, 0] == sub[:, 2]) & (sub[:, 1] > sub[:, 3]))
+    canon = sub.copy()
+    canon[swap] = canon[swap][:, [2, 3, 0, 1]]
+    uniq = np.unique(canon, axis=0)
+    return [
+        ((float(r[0]), float(r[1])), (float(r[2]), float(r[3])))
+        for r in uniq
+        if r[0] != r[2] or r[1] != r[3]
     ]
-    for i in range(S):
-        # bbox prefilter keeps the pair scan near-linear for sparse nets
-        cand = np.nonzero(
-            (minx <= maxx[i]) & (maxx >= minx[i]) & (miny <= maxy[i]) & (maxy >= miny[i])
-        )[0]
-        for j in cand:
-            if j <= i:
-                continue
-            for px, py in _find_intersections(tuple(segments[i]), tuple(segments[j])):
-                cuts[i].append((px, py))
-                cuts[j].append((px, py))
-    out = set()
-    for i in range(S):
-        x1, y1, x2, y2 = segments[i]
-        dx, dy = x2 - x1, y2 - y1
-        L2 = dx * dx + dy * dy
-        if L2 == 0.0:
-            continue
-        pts = sorted(
-            {(snapped(px), snapped(py)) for px, py in cuts[i]},
-            key=lambda p: ((p[0] - x1) * dx + (p[1] - y1) * dy),
-        )
-        for a, b in zip(pts, pts[1:]):
-            if a != b:
-                out.add((a, b) if a < b else (b, a))
-    return sorted(out)
 
 
-def polygonize(segments: np.ndarray, snap: float = 1e-6) -> list[list[np.ndarray]]:
-    """Faces of the planar arrangement of ``segments`` ((S,4) float64)
-    → list of polygons, each an even-odd ring list (outer CCW ring
-    first, contained hole cycles appended).  Dangling edges (not on any
-    cycle) vanish naturally: their two directed twins trace a
-    degenerate back-and-forth walk with zero area.
-    """
-    segs = np.asarray(segments, dtype=np.float64)
-    if segs.shape[0] == 0:
-        return []
-    subsegs = _polygonize_nodes(segs, snap)
-    if not subsegs:
-        return []
-    # node table
+def _arrangement(subsegs: list[tuple]):
+    """Half-edge structure of a noded segment set.
+
+    ``subsegs``: unique undirected node-key pairs ((ax, ay), (bx, by)).
+    Returns ``(coords, he_from, he_to, nxt, cycle_of, cycle_rings)``:
+    half-edge ``2k`` runs a→b of subseg ``k`` and ``2k+1`` is its twin;
+    ``nxt`` traces faces with interior on the LEFT; ``cycle_of`` maps
+    each half-edge to its face-walk id; ``cycle_rings[c]`` is that
+    walk's vertex array (may be degenerate for dangling edges)."""
     nodes: dict[tuple[float, float], int] = {}
     for a, b in subsegs:
         for p in (a, b):
             if p not in nodes:
                 nodes[p] = len(nodes)
     coords = np.array([p for p, _i in sorted(nodes.items(), key=lambda kv: kv[1])])
-    # directed half-edges
     he_from: list[int] = []
     he_to: list[int] = []
     for a, b in subsegs:
@@ -1011,7 +1157,6 @@ def polygonize(segments: np.ndarray, snap: float = 1e-6) -> list[list[np.ndarray
     # rotation: outgoing half-edges per node, sorted CCW by angle
     order = np.lexsort((ang, he_from_arr))
     pos_in_rot = np.empty(n_he, dtype=np.int64)
-    rot_of: list[np.ndarray] = []
     starts: dict[int, tuple[int, int]] = {}
     i = 0
     while i < n_he:
@@ -1033,21 +1178,37 @@ def polygonize(segments: np.ndarray, snap: float = 1e-6) -> list[list[np.ndarray
         p = pos_in_rot[t]
         q = e - 1 if p == s else p - 1
         nxt[h] = order[q]
-    # trace cycles
-    seen = np.zeros(n_he, dtype=bool)
-    cycles: list[np.ndarray] = []
+    cycle_of = np.full(n_he, -1, dtype=np.int64)
+    cycle_rings: list[np.ndarray] = []
     for h0 in range(n_he):
-        if seen[h0]:
+        if cycle_of[h0] >= 0:
             continue
+        cid = len(cycle_rings)
         cyc = []
         h = h0
-        while not seen[h]:
-            seen[h] = True
+        while cycle_of[h] < 0:
+            cycle_of[h] = cid
             cyc.append(int(he_from_arr[h]))
             h = int(nxt[h])
-        ring = coords[np.array(cyc)]
-        if ring.shape[0] >= 3:
-            cycles.append(ring)
+        cycle_rings.append(coords[np.array(cyc)])
+    return coords, he_from_arr, he_to_arr, nxt, cycle_of, cycle_rings
+
+
+def polygonize(segments: np.ndarray, snap: float = 1e-6) -> list[list[np.ndarray]]:
+    """Faces of the planar arrangement of ``segments`` ((S,4) float64)
+    → list of polygons, each an even-odd ring list (outer CCW ring
+    first, contained hole cycles appended).  Dangling edges (not on any
+    cycle) vanish naturally: their two directed twins trace a
+    degenerate back-and-forth walk with zero area.
+    """
+    segs = np.asarray(segments, dtype=np.float64)
+    if segs.shape[0] == 0:
+        return []
+    subsegs = _polygonize_nodes(segs, snap)
+    if not subsegs:
+        return []
+    _coords, _hf, _ht, _nxt, _cof, cycle_rings = _arrangement(subsegs)
+    cycles = [r for r in cycle_rings if r.shape[0] >= 3]
     pos = [(r, ring_area(r)) for r in cycles]
     faces = [(r, a) for r, a in pos if a > 1e-12]
     holes = [(r, a) for r, a in pos if a < -1e-12]
@@ -1067,14 +1228,262 @@ def polygonize(segments: np.ndarray, snap: float = 1e-6) -> list[list[np.ndarray
         return False
 
     out: list[list[np.ndarray]] = [[r] for r, _a in faces]
-    for hr, _ha in holes:
-        best, best_area = None, np.inf
-        for k, (fr, fa) in enumerate(faces):
-            if fa < best_area and strictly_inside(hr, fr):
-                best, best_area = k, fa
-        if best is not None:
-            out[best].append(hr)
+    if holes:
+        # bbox precheck: a hole strictly inside a face has a nested
+        # bbox — rejects nearly every (hole, face) pair up front (the
+        # unbounded complement cycle otherwise probes every face)
+        fb = np.array(
+            [
+                [f[:, 0].min(), f[:, 1].min(), f[:, 0].max(), f[:, 1].max()]
+                for f, _a in faces
+            ]
+        )
+        slack = 4.0 * snap
+        for hr, _ha in holes:
+            hminx, hminy = hr[:, 0].min(), hr[:, 1].min()
+            hmaxx, hmaxy = hr[:, 0].max(), hr[:, 1].max()
+            cand = np.nonzero(
+                (fb[:, 0] <= hminx + slack)
+                & (fb[:, 1] <= hminy + slack)
+                & (fb[:, 2] >= hmaxx - slack)
+                & (fb[:, 3] >= hmaxy - slack)
+            )[0]
+            best, best_area = None, np.inf
+            for k in cand:
+                fr, fa = faces[int(k)]
+                if fa < best_area and strictly_inside(hr, fr):
+                    best, best_area = int(k), fa
+            if best is not None:
+                out[best].append(hr)
     return out
+
+
+def _stitch_directed(edges: np.ndarray) -> list[np.ndarray]:
+    """Closed rings from directed boundary edges (union interior on the
+    left of each edge).  Nodes of degree > 1 (pinch points) resolve with
+    the same interior-left rotation rule as polygonize's half-edge
+    next(): continue along the rotation predecessor of the reversed
+    incoming direction."""
+    E = edges.shape[0]
+    if E == 0:
+        return []
+    nid: dict[tuple[float, float], int] = {}
+    for x, y in np.vstack([edges[:, :2], edges[:, 2:]]):
+        nid.setdefault((float(x), float(y)), len(nid))
+    coords = np.empty((len(nid), 2), dtype=np.float64)
+    for (x, y), i in nid.items():
+        coords[i] = (x, y)
+    frm = np.array([nid[(float(e[0]), float(e[1]))] for e in edges])
+    to = np.array([nid[(float(e[2]), float(e[3]))] for e in edges])
+    ang = np.arctan2(edges[:, 3] - edges[:, 1], edges[:, 2] - edges[:, 0])
+    order = np.lexsort((ang, frm))
+    starts: dict[int, tuple[int, int]] = {}
+    i = 0
+    while i < E:
+        j = i
+        node = frm[order[i]]
+        while j < E and frm[order[j]] == node:
+            j += 1
+        starts[int(node)] = (i, j)
+        i = j
+    used = np.zeros(E, dtype=bool)
+    out: list[np.ndarray] = []
+    for e0 in range(E):
+        if used[e0]:
+            continue
+        ring_nodes: list[int] = []
+        e = e0
+        closed = True
+        while not used[e]:
+            used[e] = True
+            u = int(frm[e])
+            v = int(to[e])
+            ring_nodes.append(u)
+            s, t_ = starts.get(v, (0, 0))
+            if t_ <= s:
+                closed = False  # dangling endpoint: drop the open walk
+                break
+            seg = order[s:t_]
+            if len(seg) == 1:
+                e = int(seg[0])
+                continue
+            rev = float(
+                np.arctan2(coords[u, 1] - coords[v, 1], coords[u, 0] - coords[v, 0])
+            )
+            k = int(np.searchsorted(ang[seg], rev)) - 1
+            e = int(seg[k % len(seg)])
+        if closed and ring_nodes:
+            ring = coords[np.array(ring_nodes)]
+            if ring.shape[0] >= 3 and abs(ring_area(ring)) > 1e-12:
+                out.append(ring)
+    return out
+
+
+def union_many(pieces: list[list[np.ndarray]], snap: float = 1e-6) -> list[np.ndarray]:
+    """N-way polygon union in ONE planar-arrangement pass — the scale
+    path for unions of many pieces (buffer capsules, dissolve groups)
+    that replaces a fold of pairwise Martinez–Rueda sweeps:
+
+    1. node ALL piece edges together into one planar arrangement and
+       trace its minimal faces (:func:`polygonize` — coincident edges
+       collapse in the shared undirected noding);
+    2. keep exactly the faces whose interior sample (centroid_inside —
+       a point genuinely interior to the face, so no epsilon offsets)
+       lies inside ≥1 piece under the engine PIP rule;
+    3. shared edges between two kept faces appear as opposite directed
+       twins and cancel; surviving directed edges (interior-left of the
+       union) stitch into rings with the interior-left rotation rule.
+
+    Output is an even-odd ring list (outers CCW, holes CW), the format
+    every geometry consumer here reads.  Cost: one vectorized noding +
+    one face-interior PIP per face instead of O(pieces) sequential
+    sweeps — and face-interior sampling is tolerance-free, unlike
+    midpoint side-offsets, which near-coincident arcs defeat."""
+    piece_rings: list[list[np.ndarray]] = []
+    for rings in pieces:
+        rs = [coerce_ring(r) for r in rings]
+        rs = [r for r in rs if r.shape[0] >= 3 and abs(ring_area(r)) > 1e-12]
+        if rs:
+            piece_rings.append(rs)
+    if not piece_rings:
+        return []
+    if len(piece_rings) == 1:
+        return [r.copy() for r in piece_rings[0]]
+    seg_list = []
+    epid = []
+    for pid, rs in enumerate(piece_rings):
+        e = _rings_edges(rs)
+        seg_list.append(e)
+        epid.append(np.full(e.shape[0], pid, dtype=np.int64))
+    sub, orig = _node_directed(np.vstack(seg_list), snap)
+    if sub.shape[0] == 0:
+        return []
+    pc = np.concatenate(epid)[orig]
+    swap = (sub[:, 0] > sub[:, 2]) | ((sub[:, 0] == sub[:, 2]) & (sub[:, 1] > sub[:, 3]))
+    canon = sub.copy()
+    canon[swap] = canon[swap][:, [2, 3, 0, 1]]
+    U, inv = np.unique(canon, axis=0, return_inverse=True)
+    K = U.shape[0]
+    # per-arrangement-edge toggle lists: crossing subseg k flips the
+    # even-odd inside-ness of exactly the pieces contributing an odd
+    # number of coincident copies of k
+    okey = inv * np.int64(len(piece_rings)) + pc
+    ko, cts = np.unique(okey, return_counts=True)
+    odd = cts % 2 == 1
+    tog: list[list[int]] = [[] for _ in range(K)]
+    for key in ko[odd]:
+        tog[int(key // len(piece_rings))].append(int(key % len(piece_rings)))
+    subsegs = [
+        ((float(r[0]), float(r[1])), (float(r[2]), float(r[3]))) for r in U
+    ]
+    _coords, _hf, _ht, _nxt, cycle_of, cycle_rings = _arrangement(subsegs)
+    ncyc = len(cycle_rings)
+    # face adjacency across each subseg (skip bridges: same face on
+    # both sides, crossing is meaningless)
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(ncyc)]
+    ca_arr = cycle_of[0::2]
+    cb_arr = cycle_of[1::2]
+    for k in range(K):
+        ca, cb = int(ca_arr[k]), int(cb_arr[k])
+        if ca != cb:
+            adj[ca].append((cb, k))
+            adj[cb].append((ca, k))
+    # connected components of the face graph (nesting between disjoint
+    # arrangements is resolved with one PIP per component, not per face)
+    comp = np.full(ncyc, -1, dtype=np.int64)
+    ncomp = 0
+    for c0 in range(ncyc):
+        if comp[c0] >= 0:
+            continue
+        stack = [c0]
+        comp[c0] = ncomp
+        while stack:
+            c = stack.pop()
+            for nbr, _k in adj[c]:
+                if comp[nbr] < 0:
+                    comp[nbr] = ncomp
+                    stack.append(nbr)
+        ncomp += 1
+    P = len(piece_rings)
+    piece_comp = np.full(P, -1, dtype=np.int64)
+    for k in range(K):
+        for p in tog[k]:
+            if piece_comp[p] < 0:
+                piece_comp[p] = comp[ca_arr[k]]
+    areas = np.array([ring_area(r) if r.shape[0] >= 3 else 0.0 for r in cycle_rings])
+    pieces_bbox = np.array([rings_bbox(rs) for rs in piece_rings])
+    covered = np.zeros(ncyc, dtype=bool)
+    visited = np.zeros(ncyc, dtype=bool)
+    on = np.zeros(P, dtype=bool)
+    for comp_id in range(ncomp):
+        members = np.nonzero(comp == comp_id)[0]
+        # start at the component's unbounded contour (most-negative walk)
+        start = int(members[np.argmin(areas[members])])
+        samp = cycle_rings[start][0]
+        # seed the parity state with pieces already covering the
+        # component's outside (other components' pieces — a multi-ring
+        # piece can span components, so it may ALSO be toggled by this
+        # component's edges: the state must XOR, not add)
+        base_pieces = []
+        cand_p = np.nonzero(
+            (piece_comp != comp_id)
+            & (piece_comp >= 0)
+            & (pieces_bbox[:, 0] <= samp[0])
+            & (pieces_bbox[:, 2] >= samp[0])
+            & (pieces_bbox[:, 1] <= samp[1])
+            & (pieces_bbox[:, 3] >= samp[1])
+        )[0]
+        for p in cand_p:
+            if bool(
+                points_in_polygon(samp[:1], samp[1:], piece_rings[int(p)])[0]
+            ):
+                base_pieces.append(int(p))
+        for p in base_pieces:
+            on[p] = True
+        cnt = len(base_pieces)
+        visited[start] = True
+        covered[start] = cnt > 0
+        dfs = [(start, -1, iter(adj[start]))]
+        while dfs:
+            c, via, it = dfs[-1]
+            advanced = False
+            for nbr, k in it:
+                if visited[nbr]:
+                    continue
+                for p in tog[k]:
+                    if on[p]:
+                        on[p] = False
+                        cnt -= 1
+                    else:
+                        on[p] = True
+                        cnt += 1
+                visited[nbr] = True
+                covered[nbr] = cnt > 0
+                dfs.append((nbr, k, iter(adj[nbr])))
+                advanced = True
+                break
+            if not advanced:
+                dfs.pop()
+                if via >= 0:
+                    for p in tog[via]:
+                        if on[p]:
+                            on[p] = False
+                            cnt -= 1
+                        else:
+                            on[p] = True
+                            cnt += 1
+        for p in base_pieces:  # reset seed state for the next component
+            on[p] = False
+    # union boundary: subsegs with exactly one covered side, directed so
+    # the union interior is on the left
+    cov_a = covered[ca_arr]
+    cov_b = covered[cb_arr]
+    fwd = cov_a & ~cov_b
+    rev = cov_b & ~cov_a
+    if not (np.any(fwd) or np.any(rev)):
+        return []
+    de = np.vstack([U[fwd], U[rev][:, [2, 3, 0, 1]]])
+    return _stitch_directed(de)
 
 
 def repair_geometry(rings: list[np.ndarray], snap: float = 1e-6) -> list[np.ndarray]:
@@ -1179,38 +1588,27 @@ def buffer_polygon(rings: list[np.ndarray], radius: float, n_arc: int = 16) -> l
     the Martinez–Rueda kernel — correct for concave rings and holes
     (hole boundaries buffer inward/outward under even-odd).
 
-    The capsules are unioned in a balanced binary tree (pairwise merge
-    rounds), so each input vertex passes through O(log E) sweeps instead
-    of the O(E) sweeps a sequential fold would cost — buffering a
-    1,000-edge boundary is near-linear, not quadratic."""
-    from .boolean import polygon_boolean
-
+    All capsules union in ONE planar-arrangement pass
+    (:func:`union_many`): vectorized noding of every capsule edge at
+    once, midpoint side-coverage, interior-left stitch — each input
+    vertex is visited once, instead of riding O(log E) (balanced fold)
+    or O(E) (sequential fold) full Martinez–Rueda sweeps."""
     rs = [coerce_ring(r) for r in rings]
     pieces: list[list[np.ndarray]] = [[r.copy() for r in rs]]
-    k = 0
+    # one SHARED disc n-gon per vertex (identical float coordinates in
+    # both incident capsules): neighbor capsules then coincide exactly
+    # along the joint disc, and union_many's coincidence rules collapse
+    # the duplicates deterministically — near-coincident-but-distinct
+    # arcs (the old per-edge phase rotation) defeat midpoint
+    # side-sampling once edges get dense
+    ang = np.linspace(0.0, 2.0 * np.pi, n_arc, endpoint=False)
+    disc = np.stack([np.cos(ang), np.sin(ang)], axis=1) * radius
     for r in rs:
         nxt = np.roll(r, -1, axis=0)
         for (ax, ay), (bx, by) in zip(r, nxt):
-            # per-edge phase rotation of the disc n-gon: consecutive
-            # capsules share the joint vertex's disc only approximately,
-            # so no union ever sees exactly-coincident capsule edges
-            # (the degenerate pile-ups that stress the sweep)
-            phase = (k * 0.7391) % (2.0 * np.pi / n_arc)
-            k += 1
-            ang = np.linspace(0.0, 2.0 * np.pi, n_arc, endpoint=False) + phase
-            disc = np.stack([np.cos(ang), np.sin(ang)], axis=1) * radius
             pts = np.vstack([disc + (ax, ay), disc + (bx, by)])
             pieces.append([convex_hull(pts)])
-    # adjacent pieces share geometry (consecutive edges), so pairing
-    # neighbors keeps intermediate results compact as the tree rises
-    while len(pieces) > 1:
-        merged: list[list[np.ndarray]] = []
-        for i in range(0, len(pieces) - 1, 2):
-            merged.append(polygon_boolean(pieces[i], pieces[i + 1], "or"))
-        if len(pieces) % 2:
-            merged.append(pieces[-1])
-        pieces = merged
-    return pieces[0]
+    return union_many(pieces)
 
 
 def close_holes(rings: list[np.ndarray], max_hole_area: float) -> list[np.ndarray]:
