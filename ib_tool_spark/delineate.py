@@ -31,6 +31,18 @@ from . import geom, ops
 from .cells import k_ring_offsets
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-partition by ``keys`` at ~2× cluster parallelism ahead of a
+    grouped Python kernel.  AQE's size-based shuffle coalescing sees a
+    few MB of ring payloads and funnels minutes of per-group CPU into
+    ONE task (measured: the gap-close stage ran serial); an explicit
+    repartition survives AQE and already satisfies the grouped UDF's
+    required distribution, so no second exchange is inserted.  Cogroup
+    sides must share a partition count — both go through this helper."""
+    n = max(2 * df.sparkSession.sparkContext.defaultParallelism, 8)
+    return df.repartition(n, *keys)
+
+
 # ---------------------------------------------------------------------------
 # density partitioning (Partitioning.pyt analogue)
 # ---------------------------------------------------------------------------
@@ -92,7 +104,7 @@ def partition_outlines(parts: DataFrame, cell_size: float = 150.0) -> DataFrame:
             {"part": [part], "rings": [[(r * cell_size).tolist() for r in rings]]}
         )
 
-    return parts.groupBy("part_name").applyInPandas(
+    return _spread(parts, "part_name").groupBy("part_name").applyInPandas(
         run, "part string, rings array<array<array<double>>>"
     )
 
@@ -336,7 +348,7 @@ def mst_cluster(
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             return _mst_cluster_kernel(pdf, coverage_thresh, max_edge, road_segs)
 
-        return prepared.groupBy("part").applyInPandas(run, CLUSTER_SCHEMA)
+        return _spread(prepared, "part").groupBy("part").applyInPandas(run, CLUSTER_SCHEMA)
 
     # DataFrame roads: per-partition subset (pad 0 — pruning only tests
     # crossings against centroid-to-centroid edges, which live inside
@@ -368,8 +380,8 @@ def mst_cluster(
         )
 
     return (
-        prepared.groupBy("part")
-        .cogroup(roadsub.groupBy("part"))
+        _spread(prepared, "part").groupBy("part")
+        .cogroup(_spread(roadsub, "part").groupBy("part"))
         .applyInPandas(run_cg, CLUSTER_SCHEMA)
     )
 
@@ -412,7 +424,7 @@ def cluster_boundaries(
             }
         )
 
-    return buildings_with_clusters.groupBy("cluster_id").applyInPandas(run, BOUNDARY_SCHEMA)
+    return _spread(buildings_with_clusters, "cluster_id").groupBy("cluster_id").applyInPandas(run, BOUNDARY_SCHEMA)
 
 
 def _round_buffer_cells(ring: np.ndarray, buffer_m: float, cell_size: float) -> set:
@@ -1037,7 +1049,7 @@ def cluster_cells(
             {"gx": [c[0] for c in arr], "gy": [c[1] for c in arr], "cluster_id": cid}
         )
 
-    return buildings_with_clusters.groupBy("cluster_id").applyInPandas(run, CLUSTER_CELLS_SCHEMA)
+    return _spread(buildings_with_clusters, "cluster_id").groupBy("cluster_id").applyInPandas(run, CLUSTER_CELLS_SCHEMA)
 
 
 def _hole_close_grouped(cells: DataFrame, max_hole_cells: int = 64) -> DataFrame:
@@ -1051,7 +1063,7 @@ def _hole_close_grouped(cells: DataFrame, max_hole_cells: int = 64) -> DataFrame
         )
         return pd.DataFrame({"gx": filled[:, 0], "gy": filled[:, 1], "boundary_id": bid})
 
-    return cells.select("gx", "gy", "boundary_id").groupBy("boundary_id").applyInPandas(
+    return _spread(cells.select("gx", "gy", "boundary_id"), "boundary_id").groupBy("boundary_id").applyInPandas(
         run, "gx long, gy long, boundary_id long"
     )
 
@@ -1221,7 +1233,7 @@ def blocker(
             )
             return pd.DataFrame(rows, columns=cols)
 
-        return buildings.select("cx", "cy", "part").groupBy("part").applyInPandas(
+        return _spread(buildings.select("cx", "cy", "part"), "part").groupBy("part").applyInPandas(
             run, BLOCK_SCHEMA
         )
 
@@ -1273,9 +1285,9 @@ def blocker(
         return pd.DataFrame(rows, columns=cols)
 
     return (
-        buildings.select("cx", "cy", "part")
+        _spread(buildings.select("cx", "cy", "part"), "part")
         .groupBy("part")
-        .cogroup(packed.groupBy("kid"))
+        .cogroup(_spread(packed, "kid").groupBy("kid"))
         .applyInPandas(run_cg, BLOCK_SCHEMA)
     )
 
@@ -1434,7 +1446,7 @@ def edge_catch_exact(
             by = pdf["cy"].dropna().to_numpy(np.float64)
             return _ec_rows_pdf(cid, rings, road_segs, bx, by, block_polys, max_dist)
 
-        return joined.groupBy("cluster_id").applyInPandas(run, EDGE_CATCH_SCHEMA)
+        return _spread(joined, "cluster_id").groupBy("cluster_id").applyInPandas(run, EDGE_CATCH_SCHEMA)
 
     # ---- DataFrame roads/blocks: per-cluster cogrouped subsets ----
     has_blocks = blocks is not None
@@ -1510,8 +1522,8 @@ def edge_catch_exact(
         return _ec_rows_pdf(cid, rings, road_segs, bx, by, bp, max_dist)
 
     return (
-        joined.groupBy("cluster_id")
-        .cogroup(packed.groupBy("kid"))
+        _spread(joined, "cluster_id").groupBy("cluster_id")
+        .cogroup(_spread(packed, "kid").groupBy("kid"))
         .applyInPandas(run_cg, EDGE_CATCH_SCHEMA)
     )
 
@@ -1654,7 +1666,7 @@ def dissolve_polygons(polys: DataFrame, cell: float = 256.0) -> DataFrame:
             }
         )
 
-    return labeled.groupBy("comp").applyInPandas(union_group, DISSOLVE_SCHEMA)
+    return _spread(labeled, "comp").groupBy("comp").applyInPandas(union_group, DISSOLVE_SCHEMA)
 
 
 def full_delineation_exact(
@@ -1842,8 +1854,8 @@ def patch_remove_exact(
         )
 
     counts = (
-        cand.groupBy("kid")
-        .cogroup(right.groupBy("kid"))
+        _spread(cand, "kid").groupBy("kid")
+        .cogroup(_spread(right, "kid").groupBy("kid"))
         .applyInPandas(run_cg, "comp long, n_buildings long, bdg_area double")
     )
     stats = dissolved.join(counts, "comp", "left").fillna(0, ["n_buildings", "bdg_area"])
@@ -1969,9 +1981,9 @@ def gap_close_exact(
             return _gap_close_kernel(fid, rings, bp, max_hole, max_gap, gap_dist, shared_pct)
 
         return (
-            boundaries.select("id", "rings")
+            _spread(boundaries.select("id", "rings"), "id")
             .groupBy("id")
-            .cogroup(blocksub.groupBy("kid"))
+            .cogroup(_spread(blocksub, "kid").groupBy("kid"))
             .applyInPandas(run_cg, GAP_CLOSE_SCHEMA)
         )
 
@@ -1991,6 +2003,6 @@ def gap_close_exact(
             fid, rings, block_polys, max_hole, max_gap, gap_dist, shared_pct
         )
 
-    return boundaries.select("id", "rings").groupBy("id").applyInPandas(
+    return _spread(boundaries.select("id", "rings"), "id").groupBy("id").applyInPandas(
         run, GAP_CLOSE_SCHEMA
     )

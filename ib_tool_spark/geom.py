@@ -940,6 +940,16 @@ def main_angle_rect(segs: np.ndarray) -> tuple["np.ndarray | None", "float | Non
 # ---------------------------------------------------------------------------
 
 
+def _ranges_flat(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized concat of [lo_i, hi_i) index ranges."""
+    cnt = hi - lo
+    tot = int(cnt.sum())
+    if tot == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    return np.repeat(lo, cnt) + np.arange(tot) - np.repeat(starts, cnt)
+
+
 def _node_directed(segments: np.ndarray, snap: float) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized planar noding: split every directed segment at its
     pairwise intersections (1e-9 quantum rounding like the boolean
@@ -954,7 +964,7 @@ def _node_directed(segments: np.ndarray, snap: float) -> tuple[np.ndarray, np.nd
     that routine, so collinear-overlap handling is shared.  One numpy
     pass replaces the per-pair interpreter scan that dominated large
     capsule/arrangement unions."""
-    from .boolean import _QUANTUM, _find_intersections
+    from .boolean import _QUANTUM
 
     segs = np.asarray(segments, dtype=np.float64)
     # zero-length rows are points, not segments: they add no topology
@@ -973,7 +983,6 @@ def _node_directed(segments: np.ndarray, snap: float) -> tuple[np.ndarray, np.nd
     cut_i: list[np.ndarray] = [np.arange(S), np.arange(S)]
     cut_x: list[np.ndarray] = [x1, x2]
     cut_y: list[np.ndarray] = [y1, y2]
-    par_pairs: list[tuple[int, int]] = []
     # x-interval sweep: each overlapping pair is enumerated once, from
     # the side whose minx is smaller (the other's minx falls inside its
     # x-range) — O(S log S + hits) instead of an S×S boolean matrix
@@ -984,7 +993,7 @@ def _node_directed(segments: np.ndarray, snap: float) -> tuple[np.ndarray, np.nd
     counts = hi - lo
     if counts.sum() > 0:
         A = np.repeat(np.arange(S), counts)
-        flat = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) if S else np.empty(0, np.int64)
+        flat = _ranges_flat(lo, hi)
         B = order[flat]
         pos = np.empty(S, dtype=np.int64)
         pos[order] = np.arange(S)
@@ -1014,12 +1023,46 @@ def _node_directed(segments: np.ndarray, snap: float) -> tuple[np.ndarray, np.nd
                 cut_x += [px, px]
                 cut_y += [py, py]
         if not np.all(prop):
-            par_pairs += [(int(a), int(b)) for a, b in zip(I[~prop], J[~prop])]
-    for i, j in par_pairs:  # exactly-parallel: shared collinear handling
-        for px, py in _find_intersections(tuple(segs[i]), tuple(segs[j])):
-            cut_i.append(np.array([i, j]))
-            cut_x.append(np.array([px, px]))
-            cut_y.append(np.array([py, py]))
+            # exactly-parallel pairs, vectorized (dense shared-disc
+            # capsule sets produce millions of them — n_arc distinct
+            # edge directions — so a per-pair Python fallback is the
+            # noding bottleneck).  Collinearity and the overlap-endpoint
+            # projection replicate _find_intersections bit-for-bit.
+            Iq, Jq = I[~prop], J[~prop]
+            area = (x1[Iq] - x1[Jq]) * (y2[Iq] - y1[Jq]) - (x2[Iq] - x1[Jq]) * (
+                y1[Iq] - y1[Jq]
+            )
+            col = area == 0.0
+            Iq, Jq = Iq[col], Jq[col]
+            if Iq.size:
+                dx1q, dy1q = x2[Iq] - x1[Iq], y2[Iq] - y1[Iq]
+                usex = np.abs(dx1q) >= np.abs(dy1q)
+                # dominant-axis interval overlap
+                a_lo = np.where(usex, minx[Iq], miny[Iq])
+                a_hi = np.where(usex, maxx[Iq], maxy[Iq])
+                b_lo = np.where(usex, minx[Jq], miny[Jq])
+                b_hi = np.where(usex, maxx[Jq], maxy[Jq])
+                lo = np.maximum(a_lo, b_lo)
+                hi = np.minimum(a_hi, b_hi)
+                ok2 = lo <= hi
+                Iq, Jq = Iq[ok2], Jq[ok2]
+                if Iq.size:
+                    usex = usex[ok2]
+                    lo, hi = lo[ok2], hi[ok2]
+                    dx1q, dy1q = dx1q[ok2], dy1q[ok2]
+                    for val in (lo, hi):
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            ttx = np.where(
+                                dx1q != 0.0, (val - x1[Iq]) / dx1q, 0.0
+                            )
+                            tty = (val - y1[Iq]) / np.where(dy1q != 0.0, dy1q, 1.0)
+                        px = np.where(usex, val, x1[Iq] + tty * dx1q)
+                        py = np.where(usex, y1[Iq] + ttx * dy1q, val)
+                        px = np.round(px / _QUANTUM) * _QUANTUM
+                        py = np.round(py / _QUANTUM) * _QUANTUM
+                        cut_i += [Iq, Jq]
+                        cut_x += [px, px]
+                        cut_y += [py, py]
     ci = np.concatenate(cut_i)
     # `+ 0.0` folds -0.0 into +0.0: np.unique(axis=0) compares rows
     # BITWISE, so a negative zero would mint phantom distinct nodes
@@ -1067,7 +1110,7 @@ def _node_directed(segments: np.ndarray, snap: float) -> tuple[np.ndarray, np.nd
         if cnt.sum() == 0:
             break
         subi = np.repeat(np.arange(sub.shape[0]), cnt)
-        flat = np.concatenate([np.arange(l, h) for l, h in zip(lo_n, hi_n)])
+        flat = _ranges_flat(lo_n, hi_n)
         nodes = uq[n_order[flat]]
         npx, npy = nodes[:, 0], nodes[:, 1]
         ax, ay = sub[subi, 0], sub[subi, 1]
@@ -1157,27 +1200,26 @@ def _arrangement(subsegs: list[tuple]):
     # rotation: outgoing half-edges per node, sorted CCW by angle
     order = np.lexsort((ang, he_from_arr))
     pos_in_rot = np.empty(n_he, dtype=np.int64)
-    starts: dict[int, tuple[int, int]] = {}
-    i = 0
-    while i < n_he:
-        j = i
-        node = he_from_arr[order[i]]
-        while j < n_he and he_from_arr[order[j]] == node:
-            j += 1
-        starts[int(node)] = (i, j)
-        for k in range(i, j):
-            pos_in_rot[order[k]] = k
-        i = j
+    pos_in_rot[order] = np.arange(n_he)
+    # per-node [start, end) runs in the rotation order, vectorized
+    sorted_nodes = he_from_arr[order]
+    run_start = np.zeros(n_he, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = sorted_nodes[1:] != sorted_nodes[:-1]
+    run_first = np.nonzero(run_start)[0]
+    run_last = np.append(run_first[1:], n_he) - 1
+    node_s = np.empty(int(he_from_arr.max()) + 1, dtype=np.int64)
+    node_e = np.empty_like(node_s)
+    node_s[sorted_nodes[run_first]] = run_first
+    node_e[sorted_nodes[run_first]] = run_last + 1
     # next(h): at the head of h, take the rotation predecessor of twin
     # (clockwise-next) — traces faces with interior on the LEFT
-    nxt = np.empty(n_he, dtype=np.int64)
-    for h in range(n_he):
-        t = twin[h]
-        node = int(he_from_arr[t])
-        s, e = starts[node]
-        p = pos_in_rot[t]
-        q = e - 1 if p == s else p - 1
-        nxt[h] = order[q]
+    tnode = he_from_arr[twin]
+    s_arr = node_s[tnode]
+    e_arr = node_e[tnode]
+    p_arr = pos_in_rot[twin]
+    q_arr = np.where(p_arr == s_arr, e_arr - 1, p_arr - 1)
+    nxt = order[q_arr]
     cycle_of = np.full(n_he, -1, dtype=np.int64)
     cycle_rings: list[np.ndarray] = []
     for h0 in range(n_he):

@@ -286,8 +286,8 @@ def test_buffer_polygon_closed_form():
 
 
 def test_buffer_polygon_large_ring_perf_pin():
-    # balanced-tree capsule union: a 1,000-vertex ring must buffer in
-    # seconds, not the minutes a sequential per-edge fold costs
+    # single-arrangement capsule union: a 1,000-vertex ring must buffer
+    # in seconds, not the minutes a sequential per-edge fold costs
     import time
 
     t = np.linspace(0, 2 * np.pi, 1000, endpoint=False)
@@ -295,7 +295,10 @@ def test_buffer_polygon_large_ring_perf_pin():
     ring = np.stack([rad * np.cos(t), rad * np.sin(t)], axis=1)
     t0 = time.time()
     buf = geom.buffer_polygon([ring], 5.0, n_arc=8)
-    assert time.time() - t0 < 8.0  # ~1 s observed; slack for CI steal
+    # ~2 s warm; first-call page-fault/THP warm-up can triple it, plus
+    # slack for CI steal — the pin guards against quadratic folds
+    # (minutes), not allocator noise
+    assert time.time() - t0 < 20.0
     got = geom.polygon_area(buf)
     # wavy annulus: pi*(mean_r^2 + amp^2/2) at mean_r+5, n-gon deficit below
     want = np.pi * (105.0**2 + 50.0)
