@@ -1645,18 +1645,10 @@ def dissolve_polygons(polys: DataFrame, cell: float = 256.0) -> DataFrame:
         members = sorted(
             (int(r.id), ops._np_rings(r.rings)) for r in pdf.itertuples()
         )
-        # balanced pairwise union (deterministic: members sorted by id):
-        # each input ring passes O(log m) sweeps, not O(m) as a fold
-        pieces = [rings for _mid, rings in members]
-        while len(pieces) > 1:
-            nxt = [
-                boolean.polygon_boolean(pieces[i], pieces[i + 1], "or")
-                for i in range(0, len(pieces) - 1, 2)
-            ]
-            if len(pieces) % 2:
-                nxt.append(pieces[-1])
-            pieces = nxt
-        out = pieces[0]
+        # one planar-arrangement union over all members (deterministic:
+        # members sorted by id): each input ring is noded once instead
+        # of riding O(log m) Martinez–Rueda sweeps
+        out = geom.union_many([rings for _mid, rings in members])
         return pd.DataFrame(
             {
                 "comp": [comp],
