@@ -1174,6 +1174,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["img_decode_validate"] = img_decode_validate
 
+    def aud_features(spark, sf_dir):
+        # audio as an opaque binary column: REAL PCM-WAV decode (pure
+        # numpy RIFF walk, no codec libs) + per-clip features over
+        # Arrow batches.  The oracle is the CLOSED FORM of the
+        # single-sine synthesis (duration = n/sr, rms = a/sqrt(2),
+        # crossings = 2c-1, dominant FFT bin = c) — derived from the
+        # synthesis parameters, never by mirroring the decoder.
+        _ship(spark)
+        from ib_tool_spark import audioops, synth
+
+        n = min(synth.images_sf_count(sf_dir) // 40, 500)
+        return audioops.audio_features(audioops.synth_audio_df(spark, n)).select(
+            "media_id", "duration_ms", "rms_milli", "zero_crossings",
+            "dominant_bin", "clipped",
+        )
+
+    q["aud_features"] = aud_features
+
     return q
 
 
@@ -1824,6 +1842,22 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
         """
+
+    # aud_features: literal table of the CLOSED-FORM feature values for
+    # the single-sine synthesis — computed from the synthesis parameters
+    # (id-derived n/cycles/amp), independent of the WAV codec under test
+    from ib_tool_spark.audioops import expected_features_row as _aud_exp
+
+    _aud_rows = ",\n            ".join(
+        "('{media_id}', {duration_ms}, {rms_milli}, {zero_crossings}, "
+        "{dominant_bin}, {clipped})".format(**_aud_exp(i))
+        for i in range(500)
+    )
+    o["aud_features"] = f"""
+      SELECT * FROM (VALUES
+            {_aud_rows}
+      ) t(media_id, duration_ms, rms_milli, zero_crossings, dominant_bin, clipped)
+    """
 
     # Queries intentionally WITHOUT a SQL oracle (rows-only driver
     # check), each pinned by an independent non-SQL oracle instead:

@@ -37,3 +37,76 @@ def streaming_tile_counts(images: DataFrame, cell_res: int = 10, tile_res: int =
     pts = ops.with_cell(ops.with_geocode(images.select("image_id")), cell_res)
     tiled = pts.withColumn("tile", parent_col(F.col("cell"), cell_res, tile_res))
     return tiled.groupBy("tile").agg(F.count(F.lit(1)).alias("n_images"))
+
+
+def streaming_windowed_density(
+    images: DataFrame,
+    cell_res: int = 6,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Event-time windowed per-tile density with a late-data watermark.
+
+    The synthetic payload carries no timestamp column, so event time
+    derives deterministically from the id hash (a stand-in for capture
+    time in a real feed).  Late rows beyond ``watermark`` are dropped
+    by the engine and the window state is reclaimed — the property that
+    bounds state size on an unbounded 100 TB feed."""
+    with_ts = images.select("image_id").withColumn(
+        "event_time",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.xxhash64("image_id"), F.lit(86_400))
+        ),
+    )
+    pts = ops.with_cell(ops.with_geocode(with_ts), cell_res)
+    return (
+        pts.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), F.col("cell"))
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "cell",
+            "n_images",
+        )
+    )
+
+
+def streaming_running_dedup(images: DataFrame, ttl_minutes: int = 60) -> DataFrame:
+    """Stateful exact dedup over the stream: first sighting of each
+    payload hash passes, repeats within the state TTL are dropped —
+    applyInPandasWithState with one state entry per distinct hash and a
+    processing-time timeout of ``ttl_minutes``, so state is bounded by
+    (distinct hashes seen within TTL), not by stream length.
+
+    Output: (khash, image_id, n_dups_so_far) — one row per NEW hash per
+    batch plus updates when a hash recurs."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    keyed = images.select(
+        F.xxhash64("bytes").alias("khash"), "image_id"
+    )
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        n_prev = state.get[0] if state.exists else 0
+        n_new = 0
+        first_id = None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            if first_id is None and len(pdf):
+                first_id = str(pdf["image_id"].iloc[0])
+        total = n_prev + n_new
+        state.update((total,))
+        state.setTimeoutDuration(60_000 * ttl_minutes)
+        if n_prev == 0 and first_id is not None:
+            yield pd.DataFrame(
+                {"khash": [key[0]], "image_id": [first_id], "n_dups_so_far": [total - 1]}
+            )
+
+    return keyed.groupBy("khash").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="khash long, image_id string, n_dups_so_far long",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
