@@ -776,10 +776,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["geo_gap_close_exact"] = geo_gap_close_exact
 
     def geo_full_delineation_exact(spark, sf_dir):
-        # C-main in EXACT geometry: filter → partition → MST cluster →
-        # MainAngle Rect_Merge → AddSinglBdg → exact dissolve →
-        # PatchRemove. Rows-only (the composite chains CC + Delaunay +
-        # boolean unions); stage invariants pinned by tests.
+        # C-main in EXACT geometry, full reference stage order:
+        # filter → partition → Blocker (outline ∪ roads) → MST cluster
+        # → MainAngle Rect_Merge → AddSinglBdg → EdgeCatch → exact
+        # dissolve → GapClose → PatchRemove (real-area rescue).
+        # Rows-only (the composite chains CC + Delaunay + arrangement
+        # unions); stage invariants pinned by tests; roads/blocks ride
+        # cogrouped DataFrame subsets, never driver closures.
         _ship(spark)
         from ib_tool_spark import delineate, synth
 
@@ -1890,9 +1893,12 @@ def oracle_sql() -> dict[str, str]:
     # - geo_edge_catch_exact: planar-arrangement faces + MST-cluster
     #   boundaries are not SQL-expressible; geometry invariants pinned
     #   by tests/test_polygonize.py (snap-to-road reach, 3x area cap).
-    # - geo_full_delineation_exact: chains CC + Delaunay + MainAngle +
-    #   boolean dissolve; each stage is separately oracle- or
-    #   mirror-checked, the composite is pinned by determinism and
-    #   shape tests.
+    # - geo_full_delineation_exact: chains the full reference stage
+    #   order (Blocker → MST → Rect_Merge → AddSinglBdg → EdgeCatch →
+    #   dissolve → GapClose → PatchRemove) over CC + Delaunay +
+    #   MainAngle + arrangement unions; each stage is separately
+    #   oracle- or mirror-checked (geo_blocker_grid, geo_gap_close_
+    #   exact, g_dissolve_islands, …), the composite is pinned by
+    #   determinism and shape tests.
 
     return o
