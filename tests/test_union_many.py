@@ -1,0 +1,138 @@
+"""union_many (single-arrangement N-way union) vs the Martinez–Rueda
+pairwise fold — randomized and adversarial cross-validation.
+
+union_many is the engine's union core (buffer_polygon, close_polygon,
+dissolve components); the fold is the independently-validated reference
+implementation (boolean.py, itself checked against closed-form box
+arithmetic and pointwise membership)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ib_tool_spark import geom
+from ib_tool_spark.boolean import polygon_boolean
+
+
+def fold_union(pieces):
+    ps = list(pieces)
+    while len(ps) > 1:
+        nxt = [
+            polygon_boolean(ps[i], ps[i + 1], "or") for i in range(0, len(ps) - 1, 2)
+        ]
+        if len(ps) % 2:
+            nxt.append(ps[-1])
+        ps = nxt
+    return ps[0]
+
+
+def assert_same_region(a, b, lo=-10.0, hi=80.0, n=80, tol_pts=2):
+    gx, gy = np.meshgrid(np.linspace(lo, hi, n), np.linspace(lo, hi, n))
+    pa = geom.points_in_polygon(gx.ravel(), gy.ravel(), a)
+    pb = geom.points_in_polygon(gx.ravel(), gy.ravel(), b)
+    diff = int((pa != pb).sum())
+    assert diff <= tol_pts, f"{diff} membership mismatches"
+    aa, ab = geom.polygon_area(a), geom.polygon_area(b)
+    assert ab == pytest.approx(aa, rel=1e-6, abs=1e-6)
+
+
+def test_random_convex_pieces():
+    rng = np.random.default_rng(11)
+    for _trial in range(15):
+        pieces = []
+        for _ in range(int(rng.integers(2, 12))):
+            cx, cy = rng.uniform(0, 60, 2)
+            r = rng.uniform(3, 12)
+            na = int(rng.integers(5, 12))
+            a = np.linspace(0, 2 * np.pi, na, endpoint=False) + rng.uniform(0, 1)
+            pieces.append(
+                [np.stack([cx + r * np.cos(a), cy + r * np.sin(a)], axis=1)]
+            )
+        assert_same_region(fold_union(pieces), geom.union_many(pieces))
+
+
+def test_axis_aligned_grid_shared_edges():
+    # exactly-shared edges between tiles: coincident-edge cancellation
+    pieces = [
+        [np.array([[x, y], [x + 10.0, y], [x + 10.0, y + 10.0], [x, y + 10.0]])]
+        for x in (0.0, 10.0, 20.0)
+        for y in (0.0, 10.0)
+    ]
+    u = geom.union_many(pieces)
+    assert geom.polygon_area(u) == pytest.approx(600.0)
+    assert len(u) == 1  # one outer ring, interior edges dissolved
+
+
+def test_grid_with_hole():
+    # ring of 8 tiles around a missing center → union must keep the hole
+    pieces = [
+        [np.array([[x, y], [x + 10.0, y], [x + 10.0, y + 10.0], [x, y + 10.0]])]
+        for x in (0.0, 10.0, 20.0)
+        for y in (0.0, 10.0, 20.0)
+        if not (x == 10.0 and y == 10.0)
+    ]
+    u = geom.union_many(pieces)
+    assert geom.polygon_area(u) == pytest.approx(800.0)
+    assert len(u) == 2  # outer + hole ring
+
+
+def test_concave_source_with_hole_plus_discs():
+    src = [
+        np.array(
+            [[0, 0], [40, 0], [40, 30], [20, 30], [20, 15], [10, 15], [10, 30], [0, 30]],
+            float,
+        ),
+        np.array([[25, 5], [35, 5], [35, 12], [25, 12]], float),
+    ]
+    a = np.linspace(0, 2 * np.pi, 9, endpoint=False)
+    pieces = [src] + [
+        [np.stack([15 + 8 * np.cos(a) + k * 6, 25 + 8 * np.sin(a)], axis=1)]
+        for k in range(4)
+    ]
+    assert_same_region(fold_union(pieces), geom.union_many(pieces))
+
+
+def test_disjoint_components_with_nesting():
+    ann = [
+        np.array([[0.0, 0], [50, 0], [50, 50], [0, 50]]),
+        np.array([[10.0, 10], [40, 10], [40, 40], [10, 40]]),
+    ]
+    inner = [np.array([[20.0, 20], [30, 20], [30, 30], [20, 30]])]
+    island = [np.array([[70.0, 0], [75, 0], [75, 5], [70, 5]])]
+    u = geom.union_many([ann, inner, island])
+    want = 50 * 50 - 30 * 30 + 10 * 10 + 25
+    assert geom.polygon_area(u) == pytest.approx(want)
+
+
+def test_duplicate_and_contained_pieces():
+    big = [np.array([[0.0, 0], [30, 0], [30, 30], [0, 30]])]
+    small = [np.array([[5.0, 5], [10, 5], [10, 10], [5, 10]])]
+    u = geom.union_many([big, list(big), small, small])
+    assert geom.polygon_area(u) == pytest.approx(900.0)
+    assert len(u) == 1
+
+
+def test_near_parallel_slivers():
+    # nearly-coincident long strips (the iterated-snap-rounding regime)
+    pieces = []
+    for k in range(6):
+        dy = k * 1.5e-6
+        pieces.append(
+            [
+                np.array(
+                    [[0.0, dy], [40.0, dy + 1e-6], [40.0, dy + 5.0], [0.0, dy + 5.0]]
+                )
+            ]
+        )
+    u = geom.union_many(pieces)
+    # strips overlap almost completely: union ≈ one strip plus the
+    # 7.5e-6-tall stack growth
+    assert geom.polygon_area(u) == pytest.approx(200.0, rel=1e-4)
+
+
+def test_closing_round_trips_squares_exactly():
+    for s in (10.0, 20.0, 40.0, 60.0):
+        sq = np.array([[0.0, 0], [s, 0], [s, s], [0, s]])
+        got = geom.polygon_area(geom.close_polygon([sq], 30.0))
+        assert got == pytest.approx(s * s, abs=1e-6)
