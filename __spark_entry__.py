@@ -1195,6 +1195,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["aud_features"] = aud_features
 
+    def s_windowed_density(spark, sf_dir):
+        # the streaming windowed-density operator on its batch path
+        # (identical Column expressions; batch execution ignores the
+        # watermark, so the full aggregate is deterministic).  Oracle:
+        # the (window, cell) counts recomputed through the independent
+        # numpy mirrors (codecs.xxh64 → synth.geocode_np → cells.encode)
+        # and emitted as a literal table.
+        _ship(spark)
+        from ib_tool_spark import streaming, synth
+
+        n = min(synth.images_sf_count(sf_dir) // 40, 500)
+        ids = spark.range(n).selectExpr("format_string('img_%012d', id) AS image_id")
+        out = streaming.streaming_windowed_density(ids)
+        return out.select(
+            F.unix_timestamp("win_start").alias("win_epoch"), "cell", "n_images"
+        )
+
+    q["s_windowed_density"] = s_windowed_density
+
     return q
 
 
@@ -1861,6 +1880,37 @@ def oracle_sql() -> dict[str, str]:
             {_aud_rows}
       ) t(media_id, duration_ms, rms_milli, zero_crossings, dominant_bin, clipped)
     """
+
+    # s_windowed_density: (window, cell) counts recomputed through the
+    # independent numpy mirrors — codecs.xxh64 (bit-exact twin of
+    # Spark's xxhash64, pinned by tests) → synth.geocode_np →
+    # cells.encode — aggregated in Python, emitted as a literal table
+    def _swd_literal(n: int = 500) -> str:
+        import numpy as _np
+
+        from ib_tool_spark import codecs as _codecs
+        from ib_tool_spark import synth as _synth
+        from ib_tool_spark.cells import encode as _cell_encode
+
+        ids = [f"img_{i:012d}" for i in range(n)]
+        h = _codecs.xxh64_strings(_np.asarray(ids, dtype="S")).astype(_np.int64)
+        epoch = 1_700_000_000 + _np.mod(h, 86_400)  # pmod: % is positive
+        win = (epoch // 600) * 600
+        x, y = _synth.geocode_np(ids)
+        cell = _cell_encode(x, y, 6)
+        agg: dict[tuple[int, int], int] = {}
+        for w, c in zip(win.tolist(), cell.tolist()):
+            agg[(w, c)] = agg.get((w, c), 0) + 1
+        rows = ",\n            ".join(
+            f"({w}, {c}, {cnt})" for (w, c), cnt in sorted(agg.items())
+        )
+        return (
+            "SELECT * FROM (VALUES\n            "
+            + rows
+            + "\n      ) t(win_epoch, cell, n_images)"
+        )
+
+    o["s_windowed_density"] = _swd_literal()
 
     # Queries intentionally WITHOUT a SQL oracle (rows-only driver
     # check), each pinned by an independent non-SQL oracle instead:

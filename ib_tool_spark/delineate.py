@@ -1442,8 +1442,9 @@ def edge_catch_exact(
                 np.vstack([np.asarray(p, dtype=np.float64) for p in ring])
                 for ring in pdf["rings"].iloc[0]
             ]
-            bx = pdf["cx"].dropna().to_numpy(np.float64)
-            by = pdf["cy"].dropna().to_numpy(np.float64)
+            pts = pdf[["cx", "cy"]].dropna().sort_values(["cx", "cy"])
+            bx = pts["cx"].to_numpy(np.float64)
+            by = pts["cy"].to_numpy(np.float64)
             return _ec_rows_pdf(cid, rings, road_segs, bx, by, block_polys, max_dist)
 
         return _spread(joined, "cluster_id").groupBy("cluster_id").applyInPandas(run, EDGE_CATCH_SCHEMA)
@@ -1509,8 +1510,9 @@ def edge_catch_exact(
             np.vstack([np.asarray(p, dtype=np.float64) for p in ring])
             for ring in left["rings"].iloc[0]
         ]
-        bx = left["cx"].dropna().to_numpy(np.float64)
-        by = left["cy"].dropna().to_numpy(np.float64)
+        pts = left[["cx", "cy"]].dropna().sort_values(["cx", "cy"])
+        bx = pts["cx"].to_numpy(np.float64)
+        by = pts["cy"].to_numpy(np.float64)
         rd = right[right["kind"] == "road"] if len(right) else right
         road_segs = _sorted_segs_np(rd, with_len=False)
         bp = None
@@ -1551,6 +1553,10 @@ def rect_merge(buildings_with_clusters: DataFrame) -> DataFrame:
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         cid = int(pdf["cluster_id"].iloc[0])
+        # applyInPandas gives no within-group row order, and MainAngle's
+        # angle-run grouping and run-length sums walk segments in input
+        # order — pin to bid order so rectangles are partition-invariant
+        pdf = pdf.sort_values("bid").reset_index(drop=True)
         rings = [
             np.vstack([np.asarray(v, dtype=np.float64) for v in r[0]]) for r in pdf["rings"]
         ]
@@ -1566,7 +1572,7 @@ def rect_merge(buildings_with_clusters: DataFrame) -> DataFrame:
             {"cluster_id": [cid], "rings": [out_rings], "area": [area]}
         )
 
-    return buildings_with_clusters.select("cluster_id", "rings").groupBy(
+    return buildings_with_clusters.select("bid", "cluster_id", "rings").groupBy(
         "cluster_id"
     ).applyInPandas(run, RECT_SCHEMA)
 
@@ -1834,6 +1840,9 @@ def patch_remove_exact(
         if not len(left) or not len(right_pdf):
             return pd.DataFrame({k: pd.Series(dtype=v) for k, v in cols.items()})
         rings = _decode_flat_rings(right_pdf["coords"].iloc[0])
+        # applyInPandas gives no within-group row order; the float area
+        # sum feeds the 15% rescue threshold, so pin summation order
+        left = left.sort_values("bid").reset_index(drop=True)
         inside = geom.points_in_polygon(
             left["cx"].to_numpy(np.float64), left["cy"].to_numpy(np.float64), rings
         )

@@ -234,3 +234,53 @@ def test_mst_cluster_5000_buildings_under_10s(spark):
     assert len(out) == 5000
     assert out["cluster_id"].nunique() < 5000  # clustering actually happened
     assert wall < 10.0, wall
+
+
+def test_rect_merge_row_order_invariant(spark):
+    # MainAngle's angle-run walk depends on segment order; the kernel
+    # sorts by bid so rectangles are partition/arrival-order invariant
+    rng = np.random.default_rng(13)
+    rows = []
+    for b in range(12):
+        ring = geom.rect_ring(
+            float(rng.uniform(0, 80)), float(rng.uniform(0, 80)), 16, 9,
+            float(rng.uniform(0, 3))
+        )
+        rows.append({"bid": b, "cluster_id": 1, "rings": [ring.tolist()]})
+    base = None
+    for perm_seed in range(3):
+        order = np.random.default_rng(perm_seed).permutation(len(rows))
+        df = spark.createDataFrame(
+            pd.DataFrame([rows[i] for i in order]),
+            "bid long, cluster_id long, rings array<array<array<double>>>",
+        ).repartition(4)
+        got = delineate.rect_merge(df).collect()
+        assert len(got) == 1
+        key = (round(got[0].area, 9), str(np.round(np.asarray(got[0].rings[0]), 9).tolist()))
+        if base is None:
+            base = key
+        else:
+            assert key == base, f"perm {perm_seed} changed the rectangle"
+
+
+def test_patch_remove_area_sum_order_invariant(spark):
+    # the rescue threshold consumes a float area sum — summation order
+    # is pinned by a bid sort so keep-decisions are partition-invariant
+    ring = geom.rect_ring(50.0, 50.0, 100.0, 100.0, 0.0)
+    dissolved = spark.createDataFrame(
+        [(1, [ring.tolist()], 10000.0, 3)],
+        "comp long, rings array<array<array<double>>>, area double, n_parts long",
+    )
+    rng = np.random.default_rng(3)
+    # 4 buildings inside, areas tuned so sum/area*100 ~ exactly 15.0
+    bids = [(int(i), float(rng.uniform(10, 90)), float(rng.uniform(10, 90)),
+             375.0 + (0.1 if i == 2 else 0.0)) for i in range(4)]
+    keys = set()
+    for perm_seed in range(3):
+        order = np.random.default_rng(100 + perm_seed).permutation(4)
+        b = spark.createDataFrame(
+            [bids[i] for i in order], "bid long, cx double, cy double, area double"
+        ).repartition(3)
+        out = delineate.patch_remove_exact(dissolved, b, min_bdg_count=5).collect()
+        keys.add(tuple(sorted((r.boundary_id, r.n_buildings) for r in out)))
+    assert len(keys) == 1
