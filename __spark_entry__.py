@@ -629,7 +629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snap both receive per-group cogrouped road subsets
         roads = synth.roads_df(spark).select("rid", "line")
         clustered = delineate.mst_cluster(b, roads=roads)
-        joined = b.join(clustered.select("bid", "cluster_id"), "bid")
+        # the cogroup downstream branches `joined` twice (boundaries +
+        # building coords) — cut the lineage so the MST walk runs once
+        joined = (
+            b.join(clustered.select("bid", "cluster_id"), "bid")
+            .localCheckpoint(eager=True)
+        )
         bounds = delineate.cluster_boundaries(joined)
         pieces = delineate.edge_catch_exact(
             bounds.select("cluster_id", "rings"),

@@ -1,0 +1,80 @@
+"""Physical-plan regression pins — the PLANS.md claims as assertions.
+
+These catch silent plan regressions (a lost broadcast, a shuffle
+sneaking onto the payload side, Python appearing in the flagship) that
+row-level correctness tests cannot see."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from ib_tool_spark import delineate, ops, pipeline, synth
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_plan_shape(spark):
+    df = pipeline.flagship(spark, n_images=2000)
+    p = plan_text(df)
+    # payload scan pruned to image_id only — the bytes column must not
+    # be read on the hot path
+    assert "image_id" in p
+    assert "bytes" not in p.split("ReadSchema")[1].splitlines()[0] if "ReadSchema" in p else True
+    # polygon cover / geocode params arrive via broadcast, and the
+    # image side never shuffles
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "Exchange hashpartitioning" not in p, "shuffle on the flagship path"
+    # zero Python operators: the even-odd refine is Column math
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_knn_assign_zero_shuffle(spark):
+    import pandas as pd
+
+    pts = ops.with_cell(ops.with_geocode(synth.synth_images_df(spark, 500, 4).select("image_id")), 7)
+    sample = pts.limit(40).select("x", "y").toPandas()
+    centers = pd.DataFrame(
+        {"center_id": range(len(sample)), "cx": sample["x"], "cy": sample["y"]}
+    )
+    out = ops.knn_assign(pts, centers, cutoff=70.0, res=7)
+    p = plan_text(out)
+    assert "Exchange hashpartitioning" not in p, "knn_assign must stay zero-shuffle"
+
+
+def test_density_grid_partial_aggregation(spark):
+    pts = ops.with_geocode(synth.synth_images_df(spark, 500, 4).select("image_id"))
+    out = ops.density_grid(pts, cell_size=150.0, radius=300.0)
+    p = plan_text(out)
+    # map-side combine before each shuffle: partial + final pairs
+    assert "partial_count" in p, p
+
+
+def test_gap_close_grouped_kernel_parallelism(spark):
+    import numpy as np
+
+    from ib_tool_spark import geom
+
+    b = spark.createDataFrame(
+        [(i, [geom.rect_ring(50.0 * i, 0.0, 20.0, 20.0, 0.0).tolist()]) for i in range(6)],
+        "id long, rings array<array<array<double>>>",
+    )
+    blocks = spark.createDataFrame(
+        [(0, [geom.rect_ring(25.0, 0.0, 6.0, 20.0, 0.0).tolist()])],
+        "block_id long, rings array<array<array<double>>>",
+    )
+    out = delineate.gap_close_exact(b, blocks, gap_dist=0.0)
+    # AQE's formatted explain truncates at isFinalPlan=false — read the
+    # full query-execution dump instead
+    p = out._jdf.queryExecution().toString()
+    # the _spread repartition must survive into the plan: without it AQE
+    # coalesces the tiny shuffle and the per-group kernels run serial
+    assert "REPARTITION_BY_NUM" in p, p[:2000]
+    assert "FlatMapCoGroupsInPandas" in p, p[:2000]
