@@ -1219,6 +1219,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s_windowed_density"] = s_windowed_density
 
+    def vid_frame_sample(spark, sf_dir):
+        # video binary-column plumbing end-to-end (schema, Arrow batch
+        # shape, frame explode) through the deterministic PPM-concat
+        # fake decoder — the real-codec call site is the documented
+        # ffmpeg stub.  Closed-form oracle: id i has k=2+i%5 frames,
+        # every_n=2 keeps ceil(k/2) with max index 2*(count-1).
+        _ship(spark)
+        import pandas as _pd
+
+        from ib_tool_spark import imageops, synth
+
+        n = min(synth.images_sf_count(sf_dir) // 400, 50)
+
+        def gen(batches):
+            import numpy as _np
+
+            from ib_tool_spark import codecs as _codecs
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    k = 2 + int(i) % 5
+                    data = b"".join(
+                        _codecs.ppm_encode(
+                            _np.full((4, 4, 3), (int(i) * 7 + j) % 256, dtype=_np.uint8)
+                        )
+                        for j in range(k)
+                    )
+                    rows.append({"media_id": f"vid_{int(i):06d}", "bytes": data})
+                yield _pd.DataFrame(rows)
+
+        vids = spark.range(n).mapInPandas(gen, "media_id string, bytes binary")
+        out = imageops.frame_sample(vids, every_n=2, use_fake_decoder=True)
+        return out.groupBy("media_id").agg(
+            F.count(F.lit(1)).alias("n_frames_kept"),
+            F.max("frame_idx").alias("max_idx"),
+            F.max("fw").alias("fw"),
+            F.max("fh").alias("fh"),
+        )
+
+    q["vid_frame_sample"] = vid_frame_sample
+
     return q
 
 
@@ -1916,6 +1958,18 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["s_windowed_density"] = _swd_literal()
+
+    # vid_frame_sample: closed-form frame arithmetic from the synthesis
+    # parameters (k = 2 + i%5 frames, every_n = 2)
+    _vid_rows = ",\n            ".join(
+        f"('vid_{i:06d}', {(2 + i % 5 + 1) // 2}, {2 * (((2 + i % 5 + 1) // 2) - 1)}, 4, 4)"
+        for i in range(50)
+    )
+    o["vid_frame_sample"] = (
+        "SELECT * FROM (VALUES\n            "
+        + _vid_rows
+        + "\n      ) t(media_id, n_frames_kept, max_idx, fw, fh)"
+    )
 
     # Queries intentionally WITHOUT a SQL oracle (rows-only driver
     # check), each pinned by an independent non-SQL oracle instead:
