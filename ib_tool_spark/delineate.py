@@ -1103,7 +1103,12 @@ def full_delineation(
     bp = bp.filter(F.col("part_name").isNotNull()).withColumnRenamed("part_name", "part")
 
     roads = synth.roads_df(spark).select("rid", "line") if use_roads else None
-    clustered = mst_cluster(bp, coverage_thresh=coverage_thresh, roads=roads)
+    # downstream branches reuse the clustering 3× (main cells, the
+    # AddSinglBdg anti-join, patch counts) — cut the lineage so the MST
+    # cogroup walk runs once (clustered is output-scale: one row/bid)
+    clustered = mst_cluster(
+        bp, coverage_thresh=coverage_thresh, roads=roads
+    ).localCheckpoint(eager=True)
     # AddSinglBdg (IB-Tool2.py:1649-1702): large detached buildings that
     # fell outside every dense partition become their own clusters
     singles = (
