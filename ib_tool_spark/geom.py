@@ -716,14 +716,12 @@ def vector_angle(ax, ay, bx, by):
     return np.arccos(np.clip(c, -1.0, 1.0))
 
 
-def canonical_ring_hash(rings: list[np.ndarray], quantum: float = 1e-6) -> int:
-    """Geometry identity hash (J9 — ARE_IDENTICAL_TO joins,
-    IB-Tool2.py:1730-31): normalize each ring (snap to quantum, rotate
-    to lexicographically-smallest start vertex, CCW orientation), hash
-    the byte image with XXH64.  Equal geometry ⇒ equal hash regardless
-    of vertex start/orientation."""
-    from .codecs import xxh64
-
+def canonical_ring_bytes(rings: list[np.ndarray], quantum: float = 1e-6) -> bytes:
+    """Canonical byte image of a ring set: each ring snapped to quantum,
+    rotated to its lexicographically-smallest start vertex, oriented
+    CCW; rings sorted.  Two geometries are identical as point sets (up
+    to sub-quantum noise) iff their canonical bytes are equal — this is
+    the EXACT identity key the 64-bit hash summarizes."""
     parts = []
     for r in rings:
         r = coerce_ring(r)
@@ -733,7 +731,16 @@ def canonical_ring_hash(rings: list[np.ndarray], quantum: float = 1e-6) -> int:
         start = np.lexsort((q[:, 1], q[:, 0]))[0]
         q = np.roll(q, -start, axis=0)
         parts.append(q.tobytes())
-    return xxh64(b"|".join(sorted(parts)))
+    return b"|".join(sorted(parts))
+
+
+def canonical_ring_hash(rings: list[np.ndarray], quantum: float = 1e-6) -> int:
+    """Geometry identity hash (J9 — ARE_IDENTICAL_TO joins,
+    IB-Tool2.py:1730-31): XXH64 of :func:`canonical_ring_bytes`.  Equal
+    geometry ⇒ equal hash regardless of vertex start/orientation."""
+    from .codecs import xxh64
+
+    return xxh64(canonical_ring_bytes(rings, quantum))
 
 
 # ---------------------------------------------------------------------------
@@ -1393,14 +1400,22 @@ def union_many(pieces: list[list[np.ndarray]], snap: float = 1e-6) -> list[np.nd
         return [r.copy() for r in piece_rings[0]]
     seg_list = []
     epid = []
+    erid = []
+    ring_flat: list[np.ndarray] = []  # every ring, with its owning piece:
+    ring_pid: list[int] = []  # base-parity seeding is per RING (see below)
     for pid, rs in enumerate(piece_rings):
-        e = _rings_edges(rs)
-        seg_list.append(e)
-        epid.append(np.full(e.shape[0], pid, dtype=np.int64))
+        for r in rs:
+            e = _rings_edges([r])
+            seg_list.append(e)
+            epid.append(np.full(e.shape[0], pid, dtype=np.int64))
+            erid.append(np.full(e.shape[0], len(ring_flat), dtype=np.int64))
+            ring_flat.append(r)
+            ring_pid.append(pid)
     sub, orig = _node_directed(np.vstack(seg_list), snap)
     if sub.shape[0] == 0:
         return []
     pc = np.concatenate(epid)[orig]
+    rc = np.concatenate(erid)[orig]
     swap = (sub[:, 0] > sub[:, 2]) | ((sub[:, 0] == sub[:, 2]) & (sub[:, 1] > sub[:, 3]))
     canon = sub.copy()
     canon[swap] = canon[swap][:, [2, 3, 0, 1]]
@@ -1447,13 +1462,14 @@ def union_many(pieces: list[list[np.ndarray]], snap: float = 1e-6) -> list[np.nd
                     stack.append(nbr)
         ncomp += 1
     P = len(piece_rings)
-    piece_comp = np.full(P, -1, dtype=np.int64)
-    for k in range(K):
-        for p in tog[k]:
-            if piece_comp[p] < 0:
-                piece_comp[p] = comp[ca_arr[k]]
+    # every source ring is edge-connected, so all its subsegs land in ONE
+    # face-graph component; scatter any subseg's component per ring (all
+    # writes for a ring carry the same value, order irrelevant)
+    nring = len(ring_flat)
+    ring_comp = np.full(nring, -1, dtype=np.int64)
+    ring_comp[rc] = comp[ca_arr[inv]]
     areas = np.array([ring_area(r) if r.shape[0] >= 3 else 0.0 for r in cycle_rings])
-    pieces_bbox = np.array([rings_bbox(rs) for rs in piece_rings])
+    ring_bbox = np.array([rings_bbox([r]) for r in ring_flat])
     covered = np.zeros(ncyc, dtype=bool)
     visited = np.zeros(ncyc, dtype=bool)
     on = np.zeros(P, dtype=bool)
@@ -1462,24 +1478,31 @@ def union_many(pieces: list[list[np.ndarray]], snap: float = 1e-6) -> list[np.nd
         # start at the component's unbounded contour (most-negative walk)
         start = int(members[np.argmin(areas[members])])
         samp = cycle_rings[start][0]
-        # seed the parity state with pieces already covering the
-        # component's outside (other components' pieces — a multi-ring
-        # piece can span components, so it may ALSO be toggled by this
-        # component's edges: the state must XOR, not add)
-        base_pieces = []
-        cand_p = np.nonzero(
-            (piece_comp != comp_id)
-            & (piece_comp >= 0)
-            & (pieces_bbox[:, 0] <= samp[0])
-            & (pieces_bbox[:, 2] >= samp[0])
-            & (pieces_bbox[:, 1] <= samp[1])
-            & (pieces_bbox[:, 3] >= samp[1])
+        # Seed the parity state at the component's unbounded face.  A
+        # piece's parity there is the XOR of its per-RING containments of
+        # this component — counting only rings noded into OTHER
+        # components (this component's own rings contribute parity 0 at
+        # its unbounded face and are handled by the DFS toggles).  The
+        # sample vertex is strictly off every other component's edges
+        # (touching would have merged the components in noding), so each
+        # per-ring PIP is evaluated away from that ring's boundary —
+        # unlike the former whole-piece PIP, which tested a vertex lying
+        # ON the piece's rings whenever a multi-ring piece spanned
+        # components and silently seeded the wrong parity.
+        par = np.zeros(P, dtype=bool)
+        cand_r = np.nonzero(
+            (ring_comp != comp_id)
+            & (ring_bbox[:, 0] <= samp[0])
+            & (ring_bbox[:, 2] >= samp[0])
+            & (ring_bbox[:, 1] <= samp[1])
+            & (ring_bbox[:, 3] >= samp[1])
         )[0]
-        for p in cand_p:
+        for r in cand_r:
             if bool(
-                points_in_polygon(samp[:1], samp[1:], piece_rings[int(p)])[0]
+                points_in_polygon(samp[:1], samp[1:], [ring_flat[int(r)]])[0]
             ):
-                base_pieces.append(int(p))
+                par[ring_pid[int(r)]] ^= True
+        base_pieces = [int(p) for p in np.nonzero(par)[0]]
         for p in base_pieces:
             on[p] = True
         cnt = len(base_pieces)

@@ -808,19 +808,62 @@ def with_geom_hash(
     return df.withColumn(out, h(F.col(rings_col)))
 
 
-def identity_join(left: DataFrame, right: DataFrame, quantum: float = 1e-6) -> DataFrame:
+def with_geom_canon(
+    df: DataFrame, rings_col: str = "rings", out: str = "canon", quantum: float = 1e-6
+) -> DataFrame:
+    """Canonical geometry bytes per row (geom.canonical_ring_bytes in an
+    Arrow batch UDF) — the exact identity key whose XXH64 is
+    :func:`with_geom_hash`'s column."""
+
+    @F.pandas_udf(T.BinaryType())
+    def c(rs: pd.Series) -> pd.Series:
+        from . import geom
+
+        return pd.Series(
+            [geom.canonical_ring_bytes(_np_rings(r), quantum) for r in rs]
+        )
+
+    return df.withColumn(out, c(F.col(rings_col)))
+
+
+def identity_join(
+    left: DataFrame, right: DataFrame, quantum: float = 1e-6, _hash_mod: int | None = None
+) -> DataFrame:
     """J9 — ARE_IDENTICAL_TO spatial join (IB-Tool2.py:1730-31;
     Error_Classification.py:361-399): rows pair iff their geometries are
     identical as point sets (vertex rotation / winding / <quantum noise
     ignored).  Shape: per-row hash (Arrow batches, no pairwise work),
-    then a plain equi-join on the 64-bit hash — shuffles 16 bytes/row,
-    never geometry.  Input: (id, rings) on both sides; output
-    (lid, rid, geom_hash)."""
+    then a plain equi-join on the 64-bit hash — the candidate join
+    shuffles 16 bytes/row, never geometry — then an EXACT refine: the
+    (small) candidate pair set re-attaches each side's canonical ring
+    bytes by id and keeps pairs whose bytes are equal (a JVM-side binary
+    comparison), so a 64-bit birthday collision (~1 expected per ~5×10⁹
+    hashed geometries — real at the nominal 10¹²-row scale) cannot
+    fabricate a pair; the reference's ARE_IDENTICAL_TO is exact.
+
+    ``_hash_mod`` (tests only) degrades the hash to ``hash mod N`` to
+    force candidate collisions through the refine.  Input: (id, rings)
+    on both sides; output (lid, rid, geom_hash)."""
     l = with_geom_hash(left.select(F.col("id").alias("lid"), "rings"), quantum=quantum)
     r = with_geom_hash(right.select(F.col("id").alias("rid"), "rings"), quantum=quantum)
-    return l.select("lid", "geom_hash").join(
+    if _hash_mod is not None:
+        l = l.withColumn("geom_hash", F.pmod(F.col("geom_hash"), F.lit(int(_hash_mod))))
+        r = r.withColumn("geom_hash", F.pmod(F.col("geom_hash"), F.lit(int(_hash_mod))))
+    cand = l.select("lid", "geom_hash").join(
         r.select("rid", "geom_hash"), "geom_hash", "inner"
-    ).select("lid", "rid", "geom_hash")
+    )
+    lc = with_geom_canon(
+        left.select(F.col("id").alias("lid"), "rings"), quantum=quantum
+    ).select("lid", F.col("canon").alias("_lc"))
+    rc = with_geom_canon(
+        right.select(F.col("id").alias("rid"), "rings"), quantum=quantum
+    ).select("rid", F.col("canon").alias("_rc"))
+    return (
+        cand.join(lc, "lid", "inner")
+        .join(rc, "rid", "inner")
+        .filter(F.col("_lc") == F.col("_rc"))
+        .select("lid", "rid", "geom_hash")
+    )
 
 
 def edge_components_df(edges: DataFrame, cap: int = 65536, max_rounds: int = 64) -> DataFrame:

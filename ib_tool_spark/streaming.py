@@ -71,15 +71,23 @@ def streaming_windowed_density(
     )
 
 
-def streaming_running_dedup(images: DataFrame, ttl_minutes: int = 60) -> DataFrame:
+def streaming_running_dedup(images: DataFrame, ttl_minutes: float = 60) -> DataFrame:
     """Stateful exact dedup over the stream: first sighting of each
     payload hash passes, repeats within the state TTL are dropped —
     applyInPandasWithState with one state entry per distinct hash and a
-    processing-time timeout of ``ttl_minutes``, so state is bounded by
-    (distinct hashes seen within TTL), not by stream length.
+    processing-time timeout of ``ttl_minutes``.  On timeout the entry is
+    REMOVED (state stays bounded by distinct hashes within TTL, not by
+    stream length), so a hash seen again after its TTL expired passes as
+    new again — the documented semantics of a TTL dedup window.
 
-    Output: (khash, image_id, n_dups_so_far) — one row per NEW hash per
-    batch plus updates when a hash recurs."""
+    The emitted ``image_id`` is the MINIMUM image_id within the first
+    batch that saw the hash (batch row order is not deterministic under
+    repartition/retry, so ``iloc[0]`` would emit different rows on
+    replay).  Cross-batch rule: the first BATCH wins — ids arriving in
+    later batches never replace the emitted one, matching at-batch-
+    granularity streaming semantics.
+
+    Output: (khash, image_id, n_dups_so_far) — one row per NEW hash."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     import pandas as pd
 
@@ -88,16 +96,24 @@ def streaming_running_dedup(images: DataFrame, ttl_minutes: int = 60) -> DataFra
     )
 
     def dedup_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # TTL expiry: drop the entry so state stays bounded and the
+            # hash can re-pass as new (a timed-out invocation carries no
+            # input rows — re-updating here would resurrect the entry
+            # forever)
+            state.remove()
+            return
         n_prev = state.get[0] if state.exists else 0
         n_new = 0
         first_id = None
         for pdf in pdfs:
             n_new += len(pdf)
-            if first_id is None and len(pdf):
-                first_id = str(pdf["image_id"].iloc[0])
+            if len(pdf):
+                m = pdf["image_id"].astype(str).min()
+                first_id = m if first_id is None else min(first_id, m)
         total = n_prev + n_new
         state.update((total,))
-        state.setTimeoutDuration(60_000 * ttl_minutes)
+        state.setTimeoutDuration(int(60_000 * ttl_minutes))
         if n_prev == 0 and first_id is not None:
             yield pd.DataFrame(
                 {"khash": [key[0]], "image_id": [first_id], "n_dups_so_far": [total - 1]}

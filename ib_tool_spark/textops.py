@@ -392,15 +392,26 @@ def embedding_near_dups(
 def ivf_centroids(emb: DataFrame, dim: int, n_cells: int = 16, sample: int = 2048, iters: int = 5, seed: int = 11) -> np.ndarray:
     """Deterministic k-means-lite coarse quantizer trained on a sample
     (driver-side numpy; the sample is tiny relative to the table).
-    Sampled by hash order, not first rows — `.limit` alone would train
-    on whatever partition happens to be scanned first."""
-    pdf = (
-        emb.select("embedding", F.xxhash64(F.col("vec_id").cast("string")).alias("__h"))
-        .orderBy("__h")
-        .limit(sample)
-        .select("embedding")
-        .toPandas()
-    )
+
+    The sample is drawn by a hash-RANGE filter — ``xxhash64(vec_id) <
+    threshold`` with the threshold sized from the table count — so the
+    plan is a filtered scan that streams and discards, never a
+    TakeOrdered/heap-sift of the full table (the former
+    ``orderBy(hash).limit(n)`` shape was a full-table top-K at 100 TB).
+    The surviving ~2·sample rows are capped to exactly ``sample`` by
+    hash order driver-side, keeping the draw deterministic and
+    `.limit`-of-arbitrary-partition-free."""
+    h = F.xxhash64(F.col("vec_id").cast("string"))
+    base = emb.select("embedding", h.alias("__h"))
+    cnt = emb.count()
+    frac = min(1.0, 2.0 * sample / max(cnt, 1))
+    while True:
+        thr = min(2**63 - 1, -(2**63) + int(frac * 2.0**64))
+        cand = base.filter(F.col("__h") < F.lit(thr))
+        if frac >= 1.0 or cand.count() >= min(sample, cnt):
+            break
+        frac = min(1.0, frac * 4.0)  # rare: hash draw undershot
+    pdf = cand.toPandas().sort_values("__h").head(sample)
     X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(X.shape[0], n_cells, replace=False)]

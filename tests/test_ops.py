@@ -225,3 +225,28 @@ def test_identity_join_matches_rotated_reversed(spark):
     )
     got = sorted((x.lid, x.rid) for x in ops.identity_join(left, right).collect())
     assert got == [(0, 10), (0, 11)]
+
+
+def test_identity_join_exact_refine_kills_hash_collisions(spark):
+    # _hash_mod=1 forces EVERY row pair to collide at the hash stage;
+    # the canonical-bytes refine must keep exactly the true identity
+    # pairs — proof a 64-bit birthday collision cannot fabricate a pair
+    from ib_tool_spark import geom
+
+    rects = [geom.rect_ring(10.0 * i, 5.0, 8.0, 4.0, 0.3) for i in range(6)]
+    left = spark.createDataFrame(
+        [(i, [r.tolist()]) for i, r in enumerate(rects)],
+        "id long, rings array<array<array<double>>>",
+    )
+    # right: rotated/reversed twins of rects 0..2 plus three decoys
+    right_rows = [
+        (100 + i, [np.roll(rects[i], 1, axis=0)[::-1].tolist()]) for i in range(3)
+    ] + [(200 + i, [(rects[i] + 0.25).tolist()]) for i in range(3)]
+    right = spark.createDataFrame(
+        right_rows, "id long, rings array<array<array<double>>>"
+    )
+    got = sorted(
+        (x.lid, x.rid)
+        for x in ops.identity_join(left, right, _hash_mod=1).collect()
+    )
+    assert got == [(0, 100), (1, 101), (2, 102)]

@@ -131,6 +131,51 @@ def test_near_parallel_slivers():
     assert geom.polygon_area(u) == pytest.approx(200.0, rel=1e-4)
 
 
+def _sq(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float)
+
+
+def test_hole_ring_only_contact_between_pieces():
+    # regression (ADVICE r3, geom.py:1469): piece 0's HOLE ring is the only
+    # contact with piece 1, so piece 0 spans two arrangement components
+    # (outer ring alone / hole ring ∪ piece 1).  The old per-piece
+    # component heuristic seeded the hole component's base parity wrong
+    # and mislabelled the hole-notch region.
+    pieces = [[_sq(0, 0, 100, 100), _sq(10, 10, 20, 20)], [_sq(12, 12, 22, 22)]]
+    u = geom.union_many(pieces)
+    # union = big square minus (hole \ piece1): 10000 − (100 − 64)
+    assert sum(geom.ring_area(r) for r in u) == pytest.approx(9964.0)
+    pts = np.random.default_rng(7).uniform(-5, 105, size=(20000, 2))
+    got = geom.points_in_polygon(pts[:, 0], pts[:, 1], u)
+    exp = np.zeros(len(pts), bool)
+    for rs in pieces:
+        exp |= geom.points_in_polygon(pts[:, 0], pts[:, 1], rs)
+    assert int((got != exp).sum()) == 0
+
+
+def test_multi_ring_pieces_random_battery():
+    # randomized holes: every piece may carry a hole ring; cross-check
+    # pointwise membership against the OR of the input pieces
+    for trial in range(25):
+        r = np.random.default_rng(trial)
+        ps = []
+        for _ in range(int(r.integers(2, 5))):
+            x0, y0 = r.uniform(0, 60, 2)
+            w, h = r.uniform(15, 40, 2)
+            rings = [_sq(x0, y0, x0 + w, y0 + h)]
+            if r.random() < 0.7:
+                hx, hy = x0 + w * 0.25, y0 + h * 0.25
+                rings.append(_sq(hx, hy, hx + w * 0.4, hy + h * 0.4))
+            ps.append(rings)
+        u = geom.union_many(ps)
+        pts = r.uniform(-5, 105, size=(4000, 2))
+        got = geom.points_in_polygon(pts[:, 0], pts[:, 1], u)
+        exp = np.zeros(len(pts), bool)
+        for rs in ps:
+            exp |= geom.points_in_polygon(pts[:, 0], pts[:, 1], rs)
+        assert int((got != exp).sum()) == 0, f"trial {trial}"
+
+
 def test_closing_round_trips_squares_exactly():
     for s in (10.0, 20.0, 40.0, 60.0):
         sq = np.array([[0.0, 0], [s, 0], [s, s], [0, s]])

@@ -71,7 +71,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())  # beyond the driver's 50-entry window
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
