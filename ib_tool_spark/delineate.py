@@ -1309,6 +1309,42 @@ def blocker(
 # ---------------------------------------------------------------------------
 
 
+def _touched_segments(snap: np.ndarray, road_segs: np.ndarray) -> np.ndarray:
+    """Which road segments intersect ANY snap line — batched like
+    prune_edges_by_roads: one chunked (snap × segment) bbox mask, then
+    a single segments_intersect over the surviving pairs (the former
+    per-snap-line loop ran O(S) sequential vectorized passes with an
+    O(R) temporary each).  ``snap`` (S, 4), ``road_segs`` (R, ≥4);
+    returns a (R,) bool mask."""
+    R = road_segs.shape[0]
+    touched = np.zeros(R, dtype=bool)
+    if R == 0 or snap.shape[0] == 0:
+        return touched
+    sminx = np.minimum(road_segs[:, 0], road_segs[:, 2])
+    smaxx = np.maximum(road_segs[:, 0], road_segs[:, 2])
+    sminy = np.minimum(road_segs[:, 1], road_segs[:, 3])
+    smaxy = np.maximum(road_segs[:, 1], road_segs[:, 3])
+    nlox = np.minimum(snap[:, 0], snap[:, 2])
+    nhix = np.maximum(snap[:, 0], snap[:, 2])
+    nloy = np.minimum(snap[:, 1], snap[:, 3])
+    nhiy = np.maximum(snap[:, 1], snap[:, 3])
+    chunk = max(1, 2_000_000 // R)
+    for c0 in range(0, snap.shape[0], chunk):
+        c1 = min(c0 + chunk, snap.shape[0])
+        m = (
+            (sminx[None, :] <= nhix[c0:c1, None])
+            & (smaxx[None, :] >= nlox[c0:c1, None])
+            & (sminy[None, :] <= nhiy[c0:c1, None])
+            & (smaxy[None, :] >= nloy[c0:c1, None])
+        )
+        m[:, touched] = False  # already-hit segments need no retest
+        si, rj = np.nonzero(m)
+        if si.size:
+            hit = geom.segments_intersect(snap[c0 + si], road_segs[rj, :4])
+            touched[rj[hit]] = True
+    return touched
+
+
 def _edge_catch_group_kernel(
     group_rings: list[np.ndarray],
     road_segs: np.ndarray,
@@ -1358,10 +1394,7 @@ def _edge_catch_group_kernel(
     if snap.shape[0] == 0:
         return []
     # roads touching any snap line (SelectLayerByLocation INTERSECT)
-    touched = np.zeros(road_segs.shape[0], dtype=bool)
-    for s in snap:
-        ea = np.tile(s, (road_segs.shape[0], 1))
-        touched |= geom.segments_intersect(ea, road_segs[:, :4])
+    touched = _touched_segments(snap, road_segs)
     seg_stack = [geom._rings_edges(group_rings), snap]
     if touched.any():
         seg_stack.append(road_segs[touched, :4])
@@ -1430,6 +1463,22 @@ def edge_catch_exact(
     bbox EXTENDED by the road subset, since snapped faces can stretch
     along a touched road).  pandas inputs keep the small-scene closure
     path."""
+    if blocks is not None:
+        # an EMPTY-but-provided blocks table clips every face to nothing
+        # (the correct semantics for "faces live only inside blocks") —
+        # warn so an accidentally-empty table is distinguishable from
+        # "no blocks near this cluster" (ADVICE r3)
+        n_blocks = (
+            len(blocks) if isinstance(blocks, pd.DataFrame) else blocks.limit(1).count()
+        )
+        if n_blocks == 0:
+            import warnings
+
+            warnings.warn(
+                "edge_catch_exact: blocks table is provided but EMPTY — every "
+                "face will be clipped away; pass blocks=None to keep faces",
+                stacklevel=2,
+            )
     if isinstance(roads, pd.DataFrame):
         road_segs = _road_segments_pdf(roads)[:, :4]
         block_polys = (
