@@ -1731,6 +1731,7 @@ def full_delineation_exact(
     use_edge_catch: bool = True,
     use_gap_close: bool = True,
     gap_dist: float = 30.0,
+    stats_out: "dict | None" = None,
 ) -> DataFrame:
     """The reference main() in EXACT geometry end-to-end, in the
     reference's own stage order (IB-Tool2.py:2401-2650, SURVEY.md:336):
@@ -1787,6 +1788,13 @@ def full_delineation_exact(
     joined = b.join(clustered.select("bid", "cluster_id"), "bid").localCheckpoint(
         eager=True
     )
+    if stats_out is not None:
+        # soak evidence: rows per grouped-kernel key (the cogrouped
+        # kernels' input-size distribution — the quantity that must stay
+        # bounded for the locality model to hold at scale)
+        from .skew import skew_stats
+
+        stats_out["buildings_per_cluster"] = skew_stats(joined, "cluster_id")
     rects = rect_merge(joined)
 
     # AddSinglBdg: detached >300 m² footprints become their own

@@ -189,6 +189,29 @@ def test_edge_catch_exact_df_parity(spark):
     pd.testing.assert_frame_equal(a2, c2)
 
 
+def test_edge_catch_exact_warns_on_empty_blocks(spark):
+    # ADVICE r3: an empty-but-provided blocks table clips every face
+    # away by design — it must WARN so it is distinguishable from
+    # "no blocks near this cluster"
+    import pytest as _pytest
+
+    bound_ring = geom.rect_ring(50.0, 50.0, 60.0, 60.0, 0.0)
+    boundaries = spark.createDataFrame(
+        [(0, [bound_ring.tolist()])], "cluster_id long, rings array<array<array<double>>>"
+    )
+    buildings = spark.createDataFrame(
+        pd.DataFrame({"cluster_id": [0], "cx": [50.0], "cy": [50.0]}),
+        "cluster_id long, cx double, cy double",
+    )
+    road_pd = pd.DataFrame([{"rid": 0, "line": [[-100.0, 110.0], [200.0, 110.0]]}])
+    empty_blocks = pd.DataFrame({"block_id": pd.Series(dtype="int64"), "rings": []})
+    with _pytest.warns(UserWarning, match="EMPTY"):
+        out = delineate.edge_catch_exact(
+            boundaries, buildings, road_pd, blocks=empty_blocks
+        )
+    assert out.count() == 0  # semantics unchanged: everything clipped
+
+
 def test_gap_close_exact_df_parity(spark):
     notched = np.array(
         [[0.0, 0], [30, 0], [30, 20], [18, 20], [18, 5], [12, 5], [12, 20], [0, 20]]

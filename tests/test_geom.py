@@ -411,8 +411,10 @@ def test_shared_boundary_length_perf_pin():
     ring = np.stack([np.cos(ang) * 200, np.sin(ang) * 200], axis=1)
     other = [np.roll(ring, k, axis=0) + rng.uniform(-1, 1, 2) for k in range(6)]
     geom.shared_boundary_length([ring], [ring[:10]])  # warm
-    t0 = time.perf_counter()
-    for o in other:
-        geom.shared_boundary_length([ring], [o])
-    dt = time.perf_counter() - t0
-    assert dt < 1.0, dt
+    best = float("inf")
+    for _ in range(3):  # min-of-3: hypervisor steal only ever ADDS time
+        t0 = time.perf_counter()
+        for o in other:
+            geom.shared_boundary_length([ring], [o])
+        best = min(best, time.perf_counter() - t0)
+    assert best < 1.0, best

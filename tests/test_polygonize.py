@@ -181,9 +181,12 @@ def test_touched_segments_perf_pin():
         [rng.uniform(0, 5000, size=(10000, 4)), rng.uniform(1, 100, size=(10000, 1))]
     )
     delineate._touched_segments(snap[:10], segs)  # warm numpy
-    t0 = time.perf_counter()
-    delineate._touched_segments(snap, segs)
-    assert time.perf_counter() - t0 < 1.0
+    best = float("inf")
+    for _ in range(3):  # min-of-3: hypervisor steal only ever ADDS time
+        t0 = time.perf_counter()
+        delineate._touched_segments(snap, segs)
+        best = min(best, time.perf_counter() - t0)
+    assert best < 1.0, best
 
 
 def test_rect_merge_and_dissolve_polygons(spark):

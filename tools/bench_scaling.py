@@ -92,6 +92,9 @@ def main() -> None:
             full = json.load(f)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # BENCH/BASELINE.md is hand-maintained (it carries Job C/D sections
+    # beyond this script's Jobs A/B); results land in scaling_latest.json
+    # and the markdown preview below, which is NOT written over it.
     lines = [
         "# BENCH/BASELINE — measured throughput + N→4N scaling evidence",
         "",
@@ -163,20 +166,29 @@ def main() -> None:
         for k, v in full["queries"].items():
             lines.append(f"| {k} | {v:.3f} |")
         lines.append("")
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_preview.md"), "w") as f:
         f.write("\n".join(lines))
-    print(
-        json.dumps(
-            {
-                "cores": [lo, hi],
-                "thr_full": [thr_lo_full, thr_hi_full],
-                "thr_hot": [thr_lo_hot, thr_hi_hot],
-                "efficiency_full": round(eff, 4),
-                "efficiency_hot": round(eff_hot, 4),
-                "n_images": n_images,
-            }
-        )
-    )
+    res = {
+        "cores": [lo, hi],
+        "thr_full": [thr_lo_full, thr_hi_full],
+        "thr_hot": [thr_lo_hot, thr_hi_hot],
+        "sec_full": [
+            best_lo["queries"]["flagship_validated"],
+            best_hi["queries"]["flagship_validated"],
+        ],
+        "sec_hot": [
+            best_lo["queries"]["flagship_pip_tile"],
+            best_hi["queries"]["flagship_pip_tile"],
+        ],
+        "efficiency_full": round(eff, 4),
+        "efficiency_hot": round(eff_hot, 4),
+        "steal_pct_best": [best_lo.get("steal_pct"), best_hi.get("steal_pct")],
+        "n_images": n_images,
+        "n_images_full": best_lo["n_images_full"],
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":
