@@ -153,6 +153,42 @@ def test_hole_ring_only_contact_between_pieces():
     assert int((got != exp).sum()) == 0
 
 
+def _check_pointwise(pieces, n=30000, lo=-10.0, hi=160.0):
+    u = geom.union_many(pieces)
+    pts = np.random.default_rng(11).uniform(lo, hi, size=(n, 2))
+    got = geom.points_in_polygon(pts[:, 0], pts[:, 1], u)
+    exp = np.zeros(len(pts), bool)
+    for rs in pieces:
+        exp |= geom.points_in_polygon(pts[:, 0], pts[:, 1], rs)
+    assert int((got != exp).sum()) == 0
+
+
+def test_multipart_piece_spanning_components():
+    # one piece = two DISJOINT outer rings (separate arrangement
+    # components); a second piece overlaps only one of them
+    _check_pointwise([[_sq(0, 0, 40, 40), _sq(100, 0, 140, 40)], [_sq(30, 10, 50, 30)]])
+
+
+def test_hole_island_bridge():
+    # island component nested inside a hole whose ring is crossed by a
+    # third piece (bridge): three interacting components, nesting + base
+    # parity + toggles all exercised
+    _check_pointwise(
+        [[_sq(0, 0, 100, 100), _sq(40, 40, 60, 60)], [_sq(45, 45, 55, 55)], [_sq(50, 30, 70, 50)]]
+    )
+
+
+def test_deeply_nested_annuli():
+    # annulus in annulus in square: 3 components, alternating coverage
+    _check_pointwise(
+        [
+            [_sq(0, 0, 150, 150), _sq(20, 20, 130, 130)],
+            [_sq(40, 40, 110, 110), _sq(55, 55, 95, 95)],
+            [_sq(65, 65, 85, 85)],
+        ]
+    )
+
+
 def test_multi_ring_pieces_random_battery():
     # randomized holes: every piece may carry a hole ring; cross-check
     # pointwise membership against the OR of the input pieces
