@@ -223,6 +223,10 @@ def png_decode(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    if not raw[:, 0].any():
+        # all-filter-0 scanlines (what png_encode emits): one slice, no
+        # per-row reconstruction loop — ~2× the whole-image decode rate
+        return raw[:, 1:].reshape(h, w, 3).copy()
     bpp = 3
     out = np.zeros((h, w * 3), dtype=np.uint8)
     for row in range(h):
@@ -275,9 +279,12 @@ def tdc_encode(img: np.ndarray) -> bytes:
     h, w, c = img.shape
     assert c == 3 and h % 8 == 0 and w % 8 == 0 and img.dtype == np.uint8
     x = img.astype(np.float64) - 128.0
-    # (h/8, 8, w/8, 8, 3) blocks → DCT per 8x8 block, all channels at once
+    # (h/8, 8, w/8, 8, 3) blocks → DCT per 8x8 block, all channels at
+    # once; batched matmul (D · B · Dᵀ), not a 3-operand einsum — the
+    # unoptimized einsum ran the full 7-index loop at ~0.7 ms/image and
+    # dominated the decode-bound flagship contract
     blocks = x.reshape(h // 8, 8, w // 8, 8, 3).transpose(0, 2, 4, 1, 3)
-    coeff = np.einsum("ij,bcqjk,lk->bcqil", _DCT8, blocks, _DCT8)
+    coeff = _DCT8 @ blocks @ _DCT8.T
     q = np.rint(coeff / _TDC_STEP).astype(np.int16)
     payload = zlib.compress(q.tobytes(), 6)
     return struct.pack(">4sII", b"TDC1", w, h) + payload
@@ -288,7 +295,7 @@ def tdc_decode(data: bytes) -> np.ndarray:
     assert magic == b"TDC1"
     q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16).astype(np.float64)
     q = q.reshape(h // 8, w // 8, 3, 8, 8) * _TDC_STEP
-    blocks = np.einsum("ji,bcqjk,kl->bcqil", _DCT8, q, _DCT8)
+    blocks = _DCT8.T @ q @ _DCT8  # batched IDCT, see tdc_encode note
     x = blocks.transpose(0, 3, 1, 4, 2).reshape(h, w, 3) + 128.0
     return np.clip(np.rint(x), 0, 255).astype(np.uint8)
 
@@ -341,18 +348,22 @@ def phash(img: np.ndarray) -> int:
     block minus DC → bits = coeff > median.  Ties the stored ``phash``
     column to the pixels (FIXTURES.md §1).
     """
-    gray = img.astype(np.float64).mean(axis=2)
+    # ((r+g+b))/3 in the same order np.mean reduces — bit-identical,
+    # without materializing the full float64 (h, w, 3) temporary
+    f = img.astype(np.float64)
+    gray = (f[:, :, 0] + f[:, :, 1] + f[:, :, 2]) / 3.0
     h, w = gray.shape
     gray = _resample_pow2(gray, 32)
     coeff = _DCT32 @ gray @ _DCT32.T
     block = coeff[:8, :8].copy().ravel()[1:]  # drop DC
     med = np.median(block)
     bits = block > med
-    v = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            v |= np.uint64(1) << np.uint64(63 - i)
-    v = int(v)
+    # pack bit i at position 63-i (bit 0 unused) — packbits is MSB-first,
+    # so padding the 63 bits to 64 gives exactly that layout (the former
+    # 63-iteration Python shift loop was ~half of phash's runtime)
+    arr64 = np.zeros(64, dtype=bool)
+    arr64[:63] = bits
+    v = int.from_bytes(np.packbits(arr64).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

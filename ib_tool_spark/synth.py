@@ -168,6 +168,35 @@ def geocode_cols(image_id_col, scene: Scene | None = None):
 # ---------------------------------------------------------------------------
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _px_grid(h: int, w: int):
+    """Cached (yy, xx) ramp grids, pre-shaped (h, w, 1) — only 9 (h, w)
+    combinations exist, and the per-call meshgrid dominated
+    expected_pixels in the decode-validate contract."""
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.float64) / h,
+        np.arange(w, dtype=np.float64) / w,
+        indexing="ij",
+    )
+    yy3, xx3 = yy[:, :, None], xx[:, :, None]
+    yy3.setflags(write=False)
+    xx3.setflags(write=False)
+    return yy3, xx3
+
+
+@lru_cache(maxsize=None)
+def _px_checker(h: int, w: int, period: int):
+    """Cached checker term (h, w, 1), already scaled by 24.0 — 72
+    (h, w, period) combinations exist."""
+    checker = (((np.arange(w) // period)[None, :] + (np.arange(h) // period)[:, None]) % 2).astype(np.float64)
+    c = checker[:, :, None] * 24.0
+    c.setflags(write=False)
+    return c
+
+
 def expected_pixels(image_id: str) -> np.ndarray:
     """Deterministic RGB image for an id — the oracle for the PSNR check."""
     hp = codecs.xxh64((image_id + "#px").encode()) & ((1 << 64) - 1)
@@ -176,11 +205,10 @@ def expected_pixels(image_id: str) -> np.ndarray:
     base = np.array([(hp >> 8) & 0xFF, (hp >> 16) & 0xFF, (hp >> 24) & 0xFF], dtype=np.float64)
     gx = np.array([(hp >> 32) & 0x3F, (hp >> 38) & 0x3F, (hp >> 44) & 0x3F], dtype=np.float64) - 32.0
     gy = np.array([(hp >> 50) & 0x3F, (hp >> 56) & 0x3F, hp & 0x3F], dtype=np.float64) - 32.0
-    yy, xx = np.meshgrid(np.arange(h, dtype=np.float64) / h, np.arange(w, dtype=np.float64) / w, indexing="ij")
-    img = base[None, None, :] + xx[:, :, None] * gx[None, None, :] * 2.0 + yy[:, :, None] * gy[None, None, :] * 2.0
+    yy3, xx3 = _px_grid(h, w)
+    img = base[None, None, :] + xx3 * gx[None, None, :] * 2.0 + yy3 * gy[None, None, :] * 2.0
     period = 4 + (hp >> 5) % 8
-    checker = (((np.arange(w) // period)[None, :] + (np.arange(h) // period)[:, None]) % 2).astype(np.float64)
-    img += checker[:, :, None] * 24.0
+    img += _px_checker(h, w, int(period))
     return np.clip(np.rint(img), 0, 255).astype(np.uint8)
 
 
