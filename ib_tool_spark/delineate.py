@@ -1732,6 +1732,7 @@ def full_delineation_exact(
     use_gap_close: bool = True,
     gap_dist: float = 30.0,
     stats_out: "dict | None" = None,
+    ckpt: "object | None" = None,
 ) -> DataFrame:
     """The reference main() in EXACT geometry end-to-end, in the
     reference's own stage order (IB-Tool2.py:2401-2650, SURVEY.md:336):
@@ -1748,10 +1749,31 @@ def full_delineation_exact(
     Every roads/blocks input rides the cogrouped-DataFrame scale path —
     no stage broadcasts the road network or block table into closures.
 
+    ``ckpt``: optional :class:`checkpoint.StageCheckpoint` — when given,
+    every stage boundary that would otherwise be an ephemeral
+    ``localCheckpoint`` becomes a DURABLE parquet snapshot with a
+    fingerprint manifest (per-file row/byte metrics), so a killed run
+    resumes exactly at its last completed stage (the reference's
+    PartLog work-queue semantics, IB-Tool2.py:2386-2399, for the whole
+    exact chain).  The parquet round-trip cuts lineage just like
+    localCheckpoint did; every downstream kernel sorts on entry, so
+    resumed and fresh runs are bit-identical.
+
     Returns one row per boundary: (boundary_id, n_parts, n_buildings,
     area)."""
     from . import synth
     from .config import filter_predicate
+
+    fp_base = (
+        f"fde-v1|pc={per_cluster}|ct={coverage_thresh}|mb={min_bdg_count}"
+        f"|roads={use_roads}|blocks={use_blocks}|ec={use_edge_catch}"
+        f"|gc={use_gap_close}|gd={gap_dist}"
+    )
+
+    def _persist(df: DataFrame, name: str) -> DataFrame:
+        if ckpt is None:
+            return df.localCheckpoint(eager=True)
+        return ckpt.stage(f"fde_{name}", f"{fp_base}|{name}", lambda: df)
 
     b = synth.buildings_df(spark, per_cluster=per_cluster)
     b = b.filter(filter_predicate(F.col("fkt"), list(synth.POS_FKT)) & (F.col("area") >= 35.0))
@@ -1772,22 +1794,19 @@ def full_delineation_exact(
     # localCheckpoints cut the lineage so the branching self-joins
     # downstream (dissolve pairs, gap-close cogroup) never recompute
     # the whole upstream chain per branch (measured 420 s → ~40 s)
-    bp = bp.localCheckpoint(eager=True)
+    bp = _persist(bp, "bp")
     blocks = None
     if use_blocks and roads is not None:
         outlines = partition_outlines(parts, 150.0)
-        blocks = (
-            blocker(bp.select("cx", "cy", "part"), outlines, roads)
-            .select(
+        blocks = _persist(
+            blocker(bp.select("cx", "cy", "part"), outlines, roads).select(
                 F.xxhash64(F.col("part"), F.col("block_id")).alias("block_id"), "rings"
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "blocks",
         )
 
     clustered = mst_cluster(bp, coverage_thresh=coverage_thresh, roads=roads)
-    joined = b.join(clustered.select("bid", "cluster_id"), "bid").localCheckpoint(
-        eager=True
-    )
+    joined = _persist(b.join(clustered.select("bid", "cluster_id"), "bid"), "joined")
     if stats_out is not None:
         # soak evidence: rows per grouped-kernel key (the cogrouped
         # kernels' input-size distribution — the quantity that must stay
@@ -1805,7 +1824,7 @@ def full_delineation_exact(
         .select("bid", F.col("bid").alias("cluster_id"), "rings")
     )
     single_rects = rect_merge(singles)
-    all_rects = rects.unionByName(single_rects).localCheckpoint(eager=True)
+    all_rects = _persist(rects.unionByName(single_rects), "rects")
 
     # EdgeCatch on the merged rectangles (IB-Tool2.py:2501-05 runs it
     # before the dissolve); pieces join the rectangle set under fresh
@@ -1826,9 +1845,9 @@ def full_delineation_exact(
             )
         )
 
-    dissolved = dissolve_polygons(
-        to_dissolve.localCheckpoint(eager=True), cell=512.0
-    ).localCheckpoint(eager=True)
+    dissolved = _persist(
+        dissolve_polygons(_persist(to_dissolve, "pieces"), cell=512.0), "dissolved"
+    )
 
     # GapClose (IB-Tool2.py:2513): hole fill + block-gap annex +
     # double-buffer closing on each dissolved boundary
@@ -1838,10 +1857,11 @@ def full_delineation_exact(
             blocks,
             gap_dist=gap_dist,
         )
-        dissolved = (
-            closed.select(F.col("id").alias("comp"), "rings", "area")
-            .join(dissolved.select("comp", "n_parts"), "comp")
-            .localCheckpoint(eager=True)  # PatchRemove branches it 3×
+        dissolved = _persist(
+            closed.select(F.col("id").alias("comp"), "rings", "area").join(
+                dissolved.select("comp", "n_parts"), "comp"
+            ),
+            "closed",  # PatchRemove branches it 3×
         )
 
     return patch_remove_exact(dissolved, b, min_bdg_count).orderBy("boundary_id")
