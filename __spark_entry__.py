@@ -83,11 +83,21 @@ def _morton_sql_cols(ix: str, iy: str, res: int) -> str:
 
 
 _PIP_POLY = [
+    # .5 offsets keep edges off the .25 point lattice — but only if no
+    # edge has dx == ±dy: the former (15000.5, 55000.5) vertex made the
+    # last edge slope exactly 1 (dx = dy = 35000), putting its LINE on
+    # the lattice (y = x + 40000, the .25s cancel), and at sf0.1 three
+    # of 1.2M points landed exactly on it, where the codegen
+    # proper-crossing refine and the SQL mirror's 1.0/(y2-y1) rounding
+    # may disagree.  With dy = 34999, (4m+3)·34999 ≡ 1 (mod 4) can
+    # never equal 35000·(4n+3) ≡ 0 (mod 4), so no lattice point lies on
+    # the edge; the remaining edges (slopes 1/12, 4, −3/4, −8) are
+    # lattice-free by the same congruence test.
     (20000.5, 15000.5),
     (80000.5, 20000.5),
     (90000.5, 60000.5),
     (50000.5, 90000.5),
-    (15000.5, 55000.5),
+    (15000.5, 55001.5),
 ]
 
 _KNN_CENTERS = [
