@@ -1355,7 +1355,8 @@ def _error_class_scene(spark):
     expert = rect(0, 19, 0, 19)
     holes = rect(5, 6, 5, 6) + rect(10, 13, 10, 13)
     pos_rects = [
-        (30, 31, 0, 0),    # P1  2 cells   1 IndCom bldg       → IndCom
+        (30, 32, 0, 0),    # P1  3 cells   1 IndCom bldg       → IndCom
+                           #     (≥250 m² — survives the sliver floor)
         (40, 49, 0, 9),    # P2  100 cells 8 bldgs, cov 32%    → Resid
         (60, 90, 0, 19),   # P3  620 cells 5 tiny bldgs        → SettBody
         (100, 125, 0, 19), # P4  520 cells no bldgs            → LargeEmpty
@@ -1810,9 +1811,11 @@ def oracle_sql() -> dict[str, str]:
                 if tok
             }
         )
+        # codecs.xxh64 already returns SIGNED int64 — build the array as
+        # int64 directly (numpy 2.x errors on negative-int→uint64)
         _signed = _np.array(
-            [_codecs.xxh64(tok.encode("utf-8")) for tok in _vocab], dtype=_np.uint64
-        ).view(_np.int64)
+            [_codecs.xxh64(tok.encode("utf-8")) for tok in _vocab], dtype=_np.int64
+        )
         _vrows = ", ".join(
             f"('{tok}', CAST({int(h)} AS BIGINT))" for tok, h in zip(_vocab, _signed)
         )
@@ -2113,7 +2116,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT x.gx, y.gy FROM range(10,14) x(gx) CROSS JOIN range(10,14) y(gy)
       ),
       pos AS (
-        SELECT x.gx, y.gy FROM range(30,32) x(gx) CROSS JOIN range(0,1) y(gy)
+        SELECT x.gx, y.gy FROM range(30,33) x(gx) CROSS JOIN range(0,1) y(gy)
         UNION ALL SELECT x.gx, y.gy FROM range(40,50) x(gx) CROSS JOIN range(0,10) y(gy)
         UNION ALL SELECT x.gx, y.gy FROM range(60,91) x(gx) CROSS JOIN range(0,20) y(gy)
         UNION ALL SELECT x.gx, y.gy FROM range(100,126) x(gx) CROSS JOIN range(0,20) y(gy)
@@ -2135,7 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT gx, gy, sign,
           CASE WHEN sign = 'NEG' AND gx BETWEEN 5 AND 6 THEN 'N1'
                WHEN sign = 'NEG' THEN 'N2'
-               WHEN gx BETWEEN 30 AND 31 THEN 'P1'
+               WHEN gx BETWEEN 30 AND 32 THEN 'P1'
                WHEN gx BETWEEN 40 AND 49 THEN 'P2'
                WHEN gx BETWEEN 60 AND 90 THEN 'P3'
                WHEN gx BETWEEN 100 AND 125 THEN 'P4'
@@ -2167,9 +2170,12 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY pk, sign
       ),
       cov AS (
+        -- the reference's pre-cascade sliver floor: delete patches
+        -- < 250 m2 (Error_Classification.py main) before classification
         SELECT *, LEAST(100.0, bdg_area / (CAST(n_cells AS DOUBLE) * 100.0) * 100.0)
                   AS coverage_pct
         FROM per
+        WHERE CAST(n_cells AS DOUBLE) * 100.0 >= 250.0
       )
       SELECT sign, CAST(n_cells AS BIGINT) AS n_cells,
              CAST(n_cells AS DOUBLE) * 100.0 AS area,

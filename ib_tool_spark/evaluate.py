@@ -81,6 +81,7 @@ def classify_symdiff(
     hole_max_cells: int = 64,
     large_cells: int = 400,
     indcom_fkt_prefixes: tuple[str, ...] = ("31001_2",),
+    min_patch_area: float = 250.0,
 ) -> DataFrame:
     """Symmetric-difference error classification.
 
@@ -112,18 +113,12 @@ def classify_symdiff(
     labeled = labeled_parts[0].unionByName(labeled_parts[1]).withColumn(
         "patch", F.concat(F.col("sign"), F.lit("_"), F.col("comp").cast("string"))
     )
-    # patch ids: dense_rank over the distinct patch keys — a patches-
-    # sized DataFrame sort, no driver collect of patch names (same shape
-    # as ops.cell_components_df's relabel); preserves the original
-    # lexicographic numbering
-    from pyspark.sql import Window
-
-    id_map = (
-        labeled.select("patch")
-        .distinct()
-        .withColumn(
-            "patch_id", (F.dense_rank().over(Window.orderBy("patch")) - 1).cast("long")
-        )
+    # patch ids: dense index over the distinct patch keys via
+    # ops.dense_index_df — preserves the original lexicographic
+    # numbering without a single-partition window (a continent-scale
+    # run has tens of millions of patches)
+    id_map = ops.dense_index_df(
+        labeled.select("patch").distinct(), "patch", out="patch_id"
     )
     cells_df = labeled.join(F.broadcast(id_map), "patch", "inner").select(
         "gx", "gy", "sign", "patch_id"
@@ -153,6 +148,10 @@ def classify_symdiff(
         ).alias("n_indcom"),
     )
     area = F.col("n_cells").cast("double") * F.lit(cell_size * cell_size)
+    # the reference's pre-cascade sliver floor ("delete patches < 250 m2",
+    # Error_Classification.py main): sub-floor patches never enter the
+    # peel sequence or the report
+    per_patch = per_patch.filter(area >= F.lit(float(min_patch_area)))
     coverage = F.least(F.lit(100.0), F.col("bdg_area") / area * F.lit(100.0))
     # the reference's peel order (Error_Classification.py:636-665):
     # IndCom → Resid → Holes → SettBody → LargeEmpty → BdgEdge →

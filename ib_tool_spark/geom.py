@@ -1737,7 +1737,10 @@ def shared_boundary_length(rings_a: list[np.ndarray], rings_b: list[np.ndarray])
     bj = np.concatenate(bj_parts)
     if ai.size == 0:
         return 0.0
-    inv = 1.0 / (L * L)
+    # degenerate (zero-length) A edges were excluded by the L != 0 mask
+    # above, so their inf inv never contributes — silence the divide
+    with np.errstate(divide="ignore"):
+        inv = 1.0 / (L * L)
     t1 = ((bx1[bj] - x1[ai]) * dxa[ai] + (by1[bj] - y1[ai]) * dya[ai]) * inv[ai]
     t2 = ((bx2[bj] - x1[ai]) * dxa[ai] + (by2[bj] - y1[ai]) * dya[ai]) * inv[ai]
     lo = np.clip(np.minimum(t1, t2), 0.0, 1.0)

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -679,6 +679,53 @@ def polygon_tile_clip(
 # Distributed connected components over sparse cell sets
 # ---------------------------------------------------------------------------
 
+
+def dense_index_df(keys: DataFrame, key_col: str, out: str = "label") -> DataFrame:
+    """Global 0-based dense index over a distinct-key DataFrame — equal
+    output to ``dense_rank().over(Window.orderBy(key_col)) - 1`` but
+    WITHOUT the single-partition WindowExec sort that a partition-less
+    window forces (it serializes tens of millions of component/patch
+    labels through one task at continent scale).
+
+    Shape: range-partition the keys (globally ordered partitions), rank
+    within each partition, then add each partition's global offset.  The
+    offset map is one row per partition — a CONFIG constant, never
+    data-scale — so the bounded driver collect matches the repo-wide
+    bounded-collect contract (cf. edge_components_df's cap).
+
+    The ranged frame is localCheckpoint-ed so the sampled range
+    boundaries (and hence partition ids) are identical across the rank
+    pass and the count pass."""
+    spark = keys.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        keys.repartitionByRange(n, F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offs: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offs[pid] = acc
+        acc += counts[pid]
+    if not offs:
+        return keys.withColumn(out, F.lit(None).cast("long")).limit(0)
+    off_expr = F.create_map(
+        *[x for pid, o in sorted(offs.items()) for x in (F.lit(pid), F.lit(o))]
+    )[F.col("_pid")]
+    local = ranged.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(key_col)) - 1,
+    )
+    return local.withColumn(out, (F.col("_rn") + off_expr).cast("long")).drop(
+        "_pid", "_rn"
+    )
+
+
 _CC_OFF = 1 << 30  # cell coords live in (-2^30, 2^30)
 
 
@@ -708,11 +755,9 @@ def cell_components_df(cells: DataFrame, super_size: int = 256) -> DataFrame:
       3. union-find over the *distinct component-adjacency pairs* on
          the driver — output-scale (components touching a border), not
          data-scale;
-      4. global relabel by dense_rank over the distinct component keys
-         (a components-sized DataFrame, single small sort).
+      4. global relabel = dense index over the distinct component keys
+         via dense_index_df (two-stage rank — no single-partition sort).
     """
-    from pyspark.sql import Window
-
     S = int(super_size)
     c = (
         cells.select("gx", "gy")
@@ -770,13 +815,10 @@ def cell_components_df(cells: DataFrame, super_size: int = 256) -> DataFrame:
         "gx", "gy", F.coalesce("root", "comp").alias("comp")
     )
 
-    # stable relabel (rank of min member) — one window over the
-    # components-sized distinct-key table
-    ranks = (
-        merged.select("comp")
-        .distinct()
-        .withColumn("label", (F.dense_rank().over(Window.orderBy("comp")) - 1).cast("long"))
-    )
+    # stable relabel (rank of min member) — distributed two-stage rank
+    # over the components-sized distinct-key table (dense_index_df; no
+    # single-partition window even at tens of millions of components)
+    ranks = dense_index_df(merged.select("comp").distinct(), "comp", out="label")
     out = (
         merged.join(F.broadcast(ranks), "comp", "inner")
         .select("gx", "gy", "label")
@@ -805,7 +847,10 @@ def with_geom_hash(
             dtype=np.int64,
         )
 
-    return df.withColumn(out, h(F.col(rings_col)))
+    # provably-non-null wrapper (see with_geom_canon): without it the
+    # isnotnull(geom_hash) join constraint duplicates the hash UDF as a
+    # pushed-down pre-filter — the full-table hash pass would run TWICE
+    return df.withColumn(out, F.coalesce(h(F.col(rings_col)), F.lit(0).cast("long")))
 
 
 def with_geom_canon(
@@ -823,7 +868,15 @@ def with_geom_canon(
             [geom.canonical_ring_bytes(_np_rings(r), quantum) for r in rs]
         )
 
-    return df.withColumn(out, c(F.col(rings_col)))
+    # coalesce with a non-null literal: the UDF never returns null, and
+    # the provably-non-null wrapper stops Catalyst's inferred
+    # isnotnull(canon) join constraint from being pushed BELOW the
+    # candidate semi-join — which would re-evaluate the canon UDF over
+    # the full table just to pre-filter nulls (observed in the r5 plan
+    # audit: a duplicated full-table ArrowEvalPython under each side)
+    return df.withColumn(
+        out, F.coalesce(c(F.col(rings_col)), F.lit(b""))
+    )
 
 
 def identity_join(
@@ -852,12 +905,27 @@ def identity_join(
     cand = l.select("lid", "geom_hash").join(
         r.select("rid", "geom_hash"), "geom_hash", "inner"
     )
-    lc = with_geom_canon(
-        left.select(F.col("id").alias("lid"), "rings"), quantum=quantum
-    ).select("lid", F.col("canon").alias("_lc"))
-    rc = with_geom_canon(
-        right.select(F.col("id").alias("rid"), "rings"), quantum=quantum
-    ).select("rid", F.col("canon").alias("_rc"))
+    # cand feeds three consumers (two semi-joins + the final pair join);
+    # a lazy localCheckpoint materializes the candidate id set once — 24
+    # bytes/row at ~match scale — so the FULL-TABLE hash pass runs
+    # exactly once per side instead of once per consumer subtree
+    cand = cand.localCheckpoint(eager=False)
+    # Canonical BYTES exist only for hash-matched ids: semi-join each side
+    # down to the (collision-scale) candidate set first, so the binary canon
+    # column is computed for and shuffled by ~|cand| rows, never the full
+    # 10^12-row table.  The hash pass above stays full-table — it must.
+    l_hit = left.select(F.col("id").alias("lid"), "rings").join(
+        cand.select("lid"), "lid", "left_semi"
+    )
+    r_hit = right.select(F.col("id").alias("rid"), "rings").join(
+        cand.select("rid"), "rid", "left_semi"
+    )
+    lc = with_geom_canon(l_hit, quantum=quantum).select(
+        "lid", F.col("canon").alias("_lc")
+    )
+    rc = with_geom_canon(r_hit, quantum=quantum).select(
+        "rid", F.col("canon").alias("_rc")
+    )
     return (
         cand.join(lc, "lid", "inner")
         .join(rc, "rid", "inner")

@@ -406,9 +406,14 @@ def ivf_centroids(emb: DataFrame, dim: int, n_cells: int = 16, sample: int = 204
     cnt = emb.count()
     frac = min(1.0, 2.0 * sample / max(cnt, 1))
     while True:
+        if frac >= 1.0:
+            # full draw: no filter at all (a `< INT64_MAX` filter would
+            # drop a row hashing exactly to INT64_MAX)
+            cand = base
+            break
         thr = min(2**63 - 1, -(2**63) + int(frac * 2.0**64))
         cand = base.filter(F.col("__h") < F.lit(thr))
-        if frac >= 1.0 or cand.count() >= min(sample, cnt):
+        if cand.count() >= min(sample, cnt):
             break
         frac = min(1.0, frac * 4.0)  # rare: hash draw undershot
     pdf = cand.toPandas().sort_values("__h").head(sample)

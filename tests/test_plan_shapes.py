@@ -57,6 +57,61 @@ def test_density_grid_partial_aggregation(spark):
     assert "partial_count" in p, p
 
 
+def _rect_polys(spark, n=5):
+    from ib_tool_spark import geom
+
+    rows = [
+        (i, [geom.rect_ring(10.0 * i, 0.0, 8.0, 8.0, 0.0).tolist()])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, rings array<array<array<double>>>")
+
+
+def test_identity_join_canon_after_semijoin(spark):
+    """r5 pin: the exact-refine canonical-bytes UDF must run AFTER the
+    candidate semi-join (canon bytes computed/shuffled only for
+    hash-matched ids, never the full table), and the full-table hash
+    pass must be confined to the one-shot candidate checkpoint (no
+    re-evaluation per consumer subtree, no inferred-isnotnull UDF
+    duplicates)."""
+    df = _rect_polys(spark)
+    out = ops.identity_join(df, df)
+    p = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = p.splitlines()
+    c_idx = [i for i, ln in enumerate(lines) if "ArrowEvalPython [c(" in ln]
+    assert len(c_idx) == 2, p  # one canon eval per side — no duplicates
+    for i in c_idx:
+        assert any("Join LeftSemi" in ln for ln in lines[i + 1 : i + 4]), (
+            "canon UDF not directly above its candidate semi-join:\n" + p
+        )
+    # hash UDF lives inside the cand localCheckpoint lineage only
+    assert "ArrowEvalPython [h(" not in p, p
+    assert p.count("Join LeftSemi") == 2, p
+
+
+def test_overlay_join_family_plan_shape(spark):
+    """r5 pin: candidate pairing in the overlay family stays a payload-
+    free (gx, gy) cell equi-join — ring payloads attach only after the
+    (lid, rid) dedup — and no cartesian/nested-loop join appears."""
+    import re
+
+    df = _rect_polys(spark)
+    for out in (
+        ops.overlay_intersect_join(df, df),
+        ops.overlay_erase(df, df),
+        ops.overlay_symdiff(df, df),
+    ):
+        p = out._jdf.queryExecution().optimizedPlan().toString()
+        # the cell join's inputs project rings away: id + cell keys only
+        assert re.search(r"Project \[id#\d+L AS lid#\d+L, gx#", p), p
+        assert re.search(r"Project \[id#\d+L AS rid#\d+L, gx#", p), p
+        # narrow (lid, rid) dedup before the payload re-attach
+        assert re.search(r"Aggregate \[lid#\d+L, rid#\d+L\]", p), p
+        phys = out._jdf.queryExecution().executedPlan().toString()
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in phys, f"{bad} in overlay plan:\n{phys[:2000]}"
+
+
 def test_gap_close_grouped_kernel_parallelism(spark):
     import numpy as np
 
