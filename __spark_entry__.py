@@ -946,13 +946,30 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      exact parity is pinned by tests/test_textops.py mirrors) ----
 
     def t_minhash_lsh(spark, sf_dir):
+        # bigram shingles + 8 hashes (4 bands × 2 rows): the full
+        # minhash→banding→cap→pair→estimate pipeline, parameterized so
+        # the shingle space stays small enough for a literal xxh64
+        # mirror table — which makes the whole cascade SQL-oracle-able
+        # (the trigram/32-hash setting runs as the t_minhash_lsh_tri
+        # extra; the code path is identical)
+        _ship(spark)
+        from ib_tool_spark import textops
+
+        d = _t(spark, sf_dir, "documents")
+        return textops.minhash_near_dups(d, tau=0.3, num_hashes=8, bands=4, n=2)
+
+    q["t_minhash_lsh"] = t_minhash_lsh
+
+    def t_minhash_lsh_tri(spark, sf_dir):
+        # the classic trigram/32-hash near-dup setting (rows-only extra:
+        # its shingle→hash mirror would be megabytes of literal SQL)
         _ship(spark)
         from ib_tool_spark import textops
 
         d = _t(spark, sf_dir, "documents")
         return textops.minhash_near_dups(d, tau=0.3)
 
-    q["t_minhash_lsh"] = t_minhash_lsh
+    q["t_minhash_lsh_tri"] = t_minhash_lsh_tri
 
     def t_simhash64(spark, sf_dir):
         _ship(spark)
@@ -1317,14 +1334,14 @@ _GATE_ORDER = [
     "g_dissolve_islands", "j9_identity", "geo_gap_close_exact",
     "geo_error_classes", "t_dedup_exact", "t_token_count",
     "t_quality_score", "t_lang_heuristic", "t_near_dup_jaccard",
-    "e_ann_topk_ip", "t_simhash64", "t_winnow_fp", "e_ivf_topk",
+    "t_minhash_lsh", "e_embed_near_dup", "e_ann_topk_ip", "t_simhash64",
+    "t_winnow_fp", "e_ivf_topk",
     "x2_road_node_degrees", "img_phash_near_dups", "aud_features",
     "s_windowed_density", "vid_frame_sample",
     # rows-only tail (6) — non-SQL-expressible composites, each
     # justified at the bottom of oracle_sql()
     "geo_full_delineation_exact", "geo_edge_catch_exact",
-    "geo_mst_clusters_roads", "t_minhash_lsh", "e_embed_near_dup",
-    "img_flagship_pip",
+    "geo_mst_clusters_roads", "img_flagship_pip",
 ]
 
 
@@ -1848,6 +1865,84 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, {_acc} AS simhash FROM votes
         """
 
+        # t_minhash_lsh: the full minhash→banding→bucket-cap→pair→
+        # estimate cascade recomputed in SQL.  The mirror table maps
+        # every OBSERVED bigram shingle, suffixed '#i' for each of the 8
+        # hash slots, to its xxh64 (bit-exact vs Spark's xxhash64 seed
+        # 42) — the bigram shingle space over this corpus's tiny token
+        # vocabulary keeps the literal mirror in the hundreds of KB
+        # (trigram/32-hash would be megabytes; that variant runs as the
+        # rows-only t_minhash_lsh_tri extra).  Candidate pairs come from
+        # band-slice equality: Spark buckets by xxhash64 of the slice
+        # string, so the sets agree exactly unless two observed slices
+        # collide in 64 bits.
+        _bigrams = sorted(
+            {
+                f"{toks[j]} {toks[j + 1]}"
+                for t in _texts
+                for toks in [
+                    [
+                        x
+                        for x in _re.sub("[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+                        if x
+                    ]
+                ]
+                for j in range(len(toks) - 1)
+            }
+        )
+        _mh_rows = ", ".join(
+            f"('{sh}#{i}', CAST({_codecs.xxh64(f'{sh}#{i}'.encode('utf-8'))} AS BIGINT))"
+            for sh in _bigrams
+            for i in range(8)
+        )
+        o["t_minhash_lsh"] = f"""
+          WITH vh(sh, h) AS (VALUES {_mh_rows}),
+          toks AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS L
+            FROM documents
+          ),
+          shingles AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(L) - 1),
+                                         i -> L[i] || ' ' || L[i + 1])) AS sh0
+            FROM toks WHERE len(L) >= 2
+          ),
+          hashed AS (
+            SELECT s.doc_id, r.range AS i, vh.h
+            FROM shingles s CROSS JOIN range(0, 8) r
+            JOIN vh ON vh.sh = s.sh0 || '#' || CAST(r.range AS VARCHAR)
+          ),
+          sigs AS (SELECT doc_id, i, MIN(h) AS m FROM hashed GROUP BY doc_id, i),
+          bandkeys AS (
+            SELECT doc_id, CAST(i // 2 AS INT) AS band,
+                   STRING_AGG(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+            FROM sigs GROUP BY doc_id, i // 2
+          ),
+          okb AS (
+            SELECT band, key FROM bandkeys GROUP BY band, key
+            HAVING COUNT(*) <= 256
+          ),
+          bk AS (
+            SELECT b.doc_id, b.band, b.key
+            FROM bandkeys b JOIN okb USING (band, key)
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          ),
+          est AS (
+            SELECT c.doc_a, c.doc_b,
+                   SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+            FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.doc_a
+            JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+            GROUP BY c.doc_a, c.doc_b
+          )
+          SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.3
+        """
+
     o["geo_blocker_grid"] = f"""
       WITH pts AS ({_PTS_SQL}),
       b AS (SELECT px * 0.06 AS cx, py * 0.02 AS cy FROM pts)
@@ -2015,6 +2110,74 @@ def oracle_sql() -> dict[str, str]:
     # full-probe IVF covers every list, so its exact answer is the same
     # brute-force MIPS top-k
     o["e_ivf_topk"] = o["e_ann_topk_ip"]
+
+    # e_embed_near_dup: the hyperplane-LSH → bucket-cap → pair →
+    # exact-cosine cascade recomputed in SQL.  The ±1 sign planes are
+    # xxh64-derived constants (textops._sign_planes), so the signature
+    # is a literal 16×64 sign table + integer dot signs; the refine is
+    # fixed-point integer dot/norms with two IEEE sqrt's — bit-exact in
+    # both engines.  Candidates come from band-key equality (Spark's
+    # 4-bit band slices of the sign bitmap, reconstructed per plane).
+    _sp_rows = ", ".join(
+        f"({p}, {d}, {1 if (_codecs.xxh64(f'hp:{p}:{d}'.encode('utf-8')) & 1) else -1})"
+        for p in range(16)
+        for d in range(_ANN_DIM)
+    )
+    o["e_embed_near_dup"] = f"""
+      WITH sp(p, d, s) AS (VALUES {_sp_rows}),
+      q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ),
+      dots AS (
+        SELECT q.vec_id, sp.p, SUM(q.qv[sp.d + 1] * sp.s) AS dot
+        FROM q CROSS JOIN sp GROUP BY q.vec_id, sp.p
+      ),
+      bandkeys AS (
+        SELECT vec_id, CAST(p // 4 AS INT) AS band,
+               SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << (p % 4))
+                        ELSE 0 END) AS key
+        FROM dots GROUP BY vec_id, p // 4
+      ),
+      okb AS (
+        SELECT band, key FROM bandkeys GROUP BY band, key
+        HAVING COUNT(*) <= 1024
+      ),
+      bk AS (
+        SELECT b.vec_id, b.band, b.key FROM bandkeys b JOIN okb USING (band, key)
+      ),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+      ),
+      norms AS (
+        SELECT vec_id, SUM(x * x) AS nsq
+        FROM (SELECT vec_id, unnest(qv) AS x FROM q) GROUP BY vec_id
+      ),
+      nums AS (
+        SELECT c.id_a, c.id_b,
+               SUM(qa.qv[r.range] * qb.qv[r.range]) AS num
+        FROM cand c
+        JOIN q qa ON qa.vec_id = c.id_a
+        JOIN q qb ON qb.vec_id = c.id_b
+        CROSS JOIN range(1, {_ANN_DIM + 1}) r
+        GROUP BY c.id_a, c.id_b
+      ),
+      cosined AS (
+        SELECT n.id_a, n.id_b,
+               CASE WHEN sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)) > 0.0
+                    THEN CAST(n.num AS DOUBLE)
+                         / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+                    ELSE 0.0 END AS cosine
+        FROM nums n
+        JOIN norms na ON na.vec_id = n.id_a
+        JOIN norms nb ON nb.vec_id = n.id_b
+      )
+      SELECT id_a, id_b, cosine FROM cosined WHERE cosine >= 0.3
+    """
 
     # img_phash_near_dups: the banding + Hamming-refine math re-run in
     # SQL over the materialized synthetic payload table (the query runs
@@ -2196,12 +2359,6 @@ def oracle_sql() -> dict[str, str]:
     # Registered queries intentionally WITHOUT a SQL oracle (rows-only
     # driver check), each pinned by an independent non-SQL oracle
     # instead:
-    # - t_minhash_lsh: the xxhash64 mirror table over the shingle space
-    #   is megabytes of literal SQL; pinned by bit-exact pure-python
-    #   mirror tests (tests/test_textops.py).
-    # - e_embed_near_dup: seeded-RNG hyperplane signatures are not
-    #   SQL-expressible; exact-cosine refine pinned by numpy-mirror
-    #   tests, candidate recall by construction.
     # - geo_mst_clusters_roads: Delaunay + MST + the reference's
     #   sequential greedy are not SQL-expressible; pinned by brute-
     #   force-MST equivalence tests and golden cluster CSVs.
@@ -2221,6 +2378,11 @@ def oracle_sql() -> dict[str, str]:
     #   determinism and shape tests.
     # extra_queries() (outside the driver's 50-entry window, exercised
     # by tools/check_oracles.py + pytest):
+    # - t_minhash_lsh_tri: the trigram/32-hash minhash setting — its
+    #   shingle→xxh64 mirror would be megabytes of literal SQL; the
+    #   identical code path is oracle-checked by the registered bigram
+    #   t_minhash_lsh gate and pinned by bit-exact pure-python mirror
+    #   tests (tests/test_textops.py).
     # - e_ivf_topk_pruned: seeded-k-means probe set not SQL-
     #   expressible; full-probe == brute-force plus the PartitionFilters
     #   pruned-scan plan pinned by tests/test_textops.py::

@@ -133,9 +133,11 @@ def lsh_candidate_pairs(
 
 
 def minhash_near_dups(
-    docs: DataFrame, tau: float = 0.5, num_hashes: int = 32, bands: int = 8
+    docs: DataFrame, tau: float = 0.5, num_hashes: int = 32, bands: int = 8, n: int = 3
 ) -> DataFrame:
-    sh = doc_shingles(docs)
+    """``n`` = shingle word-gram size (3 = the classic near-dup setting;
+    2 keeps the shingle space literal-mirror-able for the SQL oracle)."""
+    sh = doc_shingles(docs, n=n)
     sigs = minhash_signatures(sh, num_hashes)
     return lsh_candidate_pairs(sigs, bands, num_hashes // bands).filter(
         F.col("est_jaccard") >= tau
@@ -296,26 +298,51 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> DataFra
 # ---------------------------------------------------------------------------
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+_Q_SCALE = 10000.0  # fixed-point embedding quantum (same as e_ann MIPS)
 
 
-def embedding_signatures(emb: DataFrame, dim: int, n_planes: int = 16, seed: int = 7) -> DataFrame:
-    """Random-hyperplane signature (int bucket) per vector — numpy
-    matmul over Arrow batches."""
-    planes = _hyperplanes(dim, n_planes, seed)
+def _sign_planes(dim: int, n_planes: int) -> np.ndarray:
+    """±1 Rademacher hyperplane signs derived from xxh64 bit math —
+    ``s[p, d] = +1 iff xxh64("hp:{p}:{d}") & 1`` — instead of a seeded
+    RNG.  Deterministic, seedless, and (being plain constants) literal-
+    mirrorable in a SQL oracle; random-sign projections are a standard
+    SimHash/JL construction."""
+    from . import codecs
+
+    s = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            s[p, d] = 1 if (codecs.xxh64(f"hp:{p}:{d}".encode("utf-8")) & 1) else -1
+    return s
+
+
+def _quantized(col) -> "F.Column":
+    """Fixed-point int64 view of a float-array embedding —
+    round-half-away-from-zero × 10⁴ (Spark F.round == DuckDB round),
+    so every downstream sum/dot is EXACT integer arithmetic and
+    engine-independent."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(_Q_SCALE)).cast("long")
+    )
+
+
+def embedding_signatures(emb: DataFrame, dim: int, n_planes: int = 16) -> DataFrame:
+    """Sign-plane signature (int bucket) per vector: quantize JVM-side
+    (exact fixed-point), then an int64 sign-matmul over Arrow batches —
+    integer arithmetic end-to-end, so the signature is bit-identical
+    across engines."""
+    planes = _sign_planes(dim, n_planes)
 
     @F.pandas_udf(T.LongType())
     def sig(v: pd.Series) -> pd.Series:
-        mat = np.vstack(v.to_numpy())  # (batch, dim)
+        mat = np.vstack(v.to_numpy()).astype(np.int64)  # (batch, dim)
         bits = (mat @ planes.T) > 0  # (batch, planes)
         out = np.zeros(mat.shape[0], dtype=np.int64)
         for i in range(planes.shape[0]):
             out |= bits[:, i].astype(np.int64) << i
         return pd.Series(out)
 
-    return emb.withColumn("sig", sig(F.col("embedding")))
+    return emb.withColumn("sig", sig(_quantized(F.col("embedding"))))
 
 
 def embedding_near_dups(
@@ -329,9 +356,9 @@ def embedding_near_dups(
     """Cosine near-dup pairs: LSH-band candidates → exact cosine refine.
 
     The candidate join is an equi-join on (band, key); exact cosine is
-    a vectorized numpy refine — same candidate-then-refine shape as
-    pip_join.  Returns (id_a, id_b, cosine).
-    """
+    fixed-point JVM Column math over the quantized vectors — same
+    candidate-then-refine shape as pip_join, no Python anywhere in the
+    refine.  Returns (id_a, id_b, cosine)."""
     sigs = embedding_signatures(emb, dim, n_planes)
     bits_per_band = n_planes // bands
     banded = sigs.select(
@@ -368,22 +395,27 @@ def embedding_near_dups(
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = ids.join(
-        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")), "id_a"
+        emb.select(F.col("vec_id").alias("id_a"), _quantized(F.col("embedding")).alias("qa")),
+        "id_a",
     ).join(
-        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")), "id_b"
+        emb.select(F.col("vec_id").alias("id_b"), _quantized(F.col("embedding")).alias("qb")),
+        "id_b",
     )
-
-    @F.pandas_udf(T.DoubleType())
-    def cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        A = np.vstack(ea.to_numpy())
-        Bm = np.vstack(eb.to_numpy())
-        num = (A * Bm).sum(axis=1)
-        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((Bm * Bm).sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(np.where(den > 0, num / den, 0.0))
-
+    # exact cosine over the fixed-point view, all JVM Column math:
+    # dot/norms are int64 sums (order-independent, no float-summation
+    # drift), the only float ops are two IEEE sqrt's, one multiply and
+    # one divide — bit-identical in any engine, so the gate is
+    # hash-exact against a plain SQL oracle
+    zero = F.lit(0).cast("long")
+    num = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), zero, lambda a, v: a + v
+    ).cast("double")
+    na = F.aggregate(F.transform("qa", lambda x: x * x), zero, lambda a, v: a + v)
+    nb = F.aggregate(F.transform("qb", lambda x: x * x), zero, lambda a, v: a + v)
+    den = F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    cosine = F.when(den > F.lit(0.0), num / den).otherwise(F.lit(0.0))
     return (
-        pairs.withColumn("cosine", cos(F.col("ea"), F.col("eb")))
+        pairs.withColumn("cosine", cosine)
         .filter(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )
