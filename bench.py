@@ -57,6 +57,28 @@ def main() -> None:
 
     spark = pipeline.get_spark(app="ib_tool_bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
+    # Decode-tuned scan splits FOR THE VALIDATED FLAGSHIP ONLY: that
+    # job is ~ms/image, so its task granularity must come from the scan
+    # (row-capped cache files + small maxPartitionBytes) instead of a
+    # repartition that shuffles every image byte — the per-job tuning a
+    # real cluster ships with a decode-bound job.  Scoped per query
+    # because split sizing is computed from FILE bytes: a global 4m
+    # would also shatter the id-only flagship scan (which reads a few
+    # MB of one column from the same 561 MB files) into 140 tasks of
+    # pure overhead.  Each .count() replans and reads the live conf, so
+    # setting it inside the run fn is effective.
+    _DECODE_SPLIT = "4m"
+
+    def _with_decode_splits(fn):
+        def run():
+            prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", _DECODE_SPLIT)
+            try:
+                return fn()
+            finally:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        return run
+
     # materialize input once (excluded from timing)
     images_path = synth.ensure_images_table(spark, n_images)
     images = spark.read.parquet(images_path)
@@ -79,10 +101,14 @@ def main() -> None:
         full_images = spark.read.parquet(synth.ensure_images_table(spark, n_full))
     else:
         full_images = images
+    # build under the decode split size too: flagship_validated probes
+    # the scan's partition count to decide whether a repartition
+    # fallback is needed
+    spark.conf.set("spark.sql.files.maxPartitionBytes", _DECODE_SPLIT)
     flagship_full_df = pipeline.flagship_validated(spark, images=full_images)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
 
-    def run_flagship_full():
-        return flagship_full_df.count()
+    run_flagship_full = _with_decode_splits(flagship_full_df.count)
 
     qs = dict(entrymod.queries())
     qs.update(entrymod.extra_queries())

@@ -294,10 +294,20 @@ def tdc_decode(data: bytes) -> np.ndarray:
     magic, w, h = struct.unpack(">4sII", data[:12])
     assert magic == b"TDC1"
     q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16).astype(np.float64)
-    q = q.reshape(h // 8, w // 8, 3, 8, 8) * _TDC_STEP
+    q *= _TDC_STEP
+    q = q.reshape(h // 8, w // 8, 3, 8, 8)
     blocks = _DCT8.T @ q @ _DCT8  # batched IDCT, see tdc_encode note
-    x = blocks.transpose(0, 3, 1, 4, 2).reshape(h, w, 3) + 128.0
-    return np.clip(np.rint(x), 0, 255).astype(np.uint8)
+    # clamp BEFORE the de-block transpose (elementwise — transpose-
+    # invariant, bit-identical) so the +128/rint/clip run in place on
+    # the contiguous block array instead of allocating 3 temporaries
+    blocks += 128.0
+    np.rint(blocks, out=blocks)
+    np.clip(blocks, 0, 255, out=blocks)
+    return np.ascontiguousarray(
+        blocks.astype(np.uint8).transpose(0, 3, 1, 4, 2).reshape(h, w, 3)
+    )
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -349,9 +359,11 @@ def phash(img: np.ndarray) -> int:
     column to the pixels (FIXTURES.md §1).
     """
     # ((r+g+b))/3 in the same order np.mean reduces — bit-identical,
-    # without materializing the full float64 (h, w, 3) temporary
-    f = img.astype(np.float64)
-    gray = (f[:, :, 0] + f[:, :, 1] + f[:, :, 2]) / 3.0
+    # channel-wise in-place upcast: no float64 (h, w, 3) temporary
+    gray = img[:, :, 0].astype(np.float64)
+    gray += img[:, :, 1]
+    gray += img[:, :, 2]
+    gray /= 3.0
     h, w = gray.shape
     gray = _resample_pow2(gray, 32)
     coeff = _DCT32 @ gray @ _DCT32.T
@@ -365,6 +377,37 @@ def phash(img: np.ndarray) -> int:
     arr64[:63] = bits
     v = int.from_bytes(np.packbits(arr64).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash_batch(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`phash` over a same-size stack (n, h, w, 3)
+    uint8 → int64 (n,).  Identical math per element; the (n, 32, 32)
+    DCT runs the same 32×32 GEMM per slice, so the bits match the
+    scalar path exactly (pinned by tests)."""
+    n, h, w, _ = imgs.shape
+    # channel-wise upcast: identical (r+g)+b order, no (n, h, w, 3)
+    # float64 temporary
+    gray = imgs[:, :, :, 0].astype(np.float64)
+    gray += imgs[:, :, :, 1]
+    gray += imgs[:, :, :, 2]
+    gray /= 3.0
+    if h > 32:
+        gray = gray.reshape(n, 32, h // 32, w).mean(axis=2)
+    elif h < 32:
+        gray = np.repeat(gray, 32 // h, axis=1)
+    if w > 32:
+        gray = gray.reshape(n, 32, 32, w // 32).mean(axis=3)
+    elif w < 32:
+        gray = np.repeat(gray, 32 // w, axis=2)
+    coeff = _DCT32 @ gray @ _DCT32.T
+    block = coeff[:, :8, :8].reshape(n, 64)[:, 1:]
+    med = np.median(block, axis=1)
+    bits = np.zeros((n, 64), dtype=bool)
+    bits[:, :63] = block > med[:, None]
+    packed = np.packbits(bits, axis=1)  # (n, 8) MSB-first == big-endian u64
+    return (
+        np.ascontiguousarray(packed).view(">u8").ravel().astype(np.uint64).view(np.int64)
+    )
 
 
 def _resample_pow2(gray: np.ndarray, target: int) -> np.ndarray:

@@ -473,35 +473,85 @@ def decode_validate(df: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
 
     def check(batches):
         for pdf in batches:
-            n = len(pdf)
-            psnr_arr = np.empty(n, dtype=np.float64)
-            pix_ok = np.empty(n, dtype=bool)
-            cap_ok = np.empty(n, dtype=bool)
-            ph_ok = np.empty(n, dtype=bool)
-            fmts = pdf["fmt"].to_numpy()
-            phashes = pdf["phash"].to_numpy()
-            for i, (image_id, data, fmt, caption) in enumerate(
-                zip(pdf["image_id"], pdf["bytes"], fmts, pdf["caption"])
-            ):
-                img = codecs.decode(bytes(data), fmt)
-                exp = synth.expected_pixels(image_id)
-                p = codecs.psnr(img, exp)
-                pix_ok[i] = (p == float("inf")) if fmt in ("png", "ppm") else (p >= psnr_floor)
-                psnr_arr[i] = min(p, 1e9)
-                cap_ok[i] = caption == synth.expected_caption(image_id)
-                ph_ok[i] = int(phashes[i]) == codecs.phash(img)
-            yield pd.DataFrame(
-                {
-                    "image_id": pdf["image_id"],
-                    "fmt": pdf["fmt"],
-                    "psnr": psnr_arr,
-                    "pixels_ok": pix_ok,
-                    "caption_ok": cap_ok,
-                    "phash_ok": ph_ok,
-                }
-            )
+            yield _validate_pdf(pdf, psnr_floor)
 
     return df.mapInPandas(check, VALIDATE_SCHEMA)
+
+
+_PHASH_CHUNK = 48  # small enough to stay cache-resident at 64×64
+
+
+def _validate_pdf(pdf: pd.DataFrame, psnr_floor: float) -> pd.DataFrame:
+    """Hybrid validate kernel — one Arrow batch in, one out, same row
+    order.  Per-image work stays per-image (decode, expected-pixel
+    synthesis, PSNR) so each ~100 KB working set stays cache-resident —
+    measured: full-batch stacking loses to the scalar loop under
+    32-way executor parallelism because the big float64 stacks saturate
+    shared memory bandwidth.  What IS batched is the cheap-to-batch:
+    the id hashes (two vectorized xxh64 sweeps per batch), the caption
+    index math, and phash in small cache-sized chunks.  PSNR uses exact
+    integer sums — equal to the float64 mean bit-for-bit (every partial
+    sum is an exact integer < 2⁵³)."""
+    from . import codecs
+
+    n = len(pdf)
+    psnr_arr = np.empty(n, dtype=np.float64)
+    pix_ok = np.empty(n, dtype=bool)
+    ph_ok = np.empty(n, dtype=bool)
+    fmts = pdf["fmt"].to_numpy()
+    phashes = pdf["phash"].to_numpy()
+    ids = list(pdf["image_id"])
+
+    hp = synth.id_hashes(ids, "#px")
+    imgs: list = [None] * n
+    for i, (data, fmt) in enumerate(zip(pdf["bytes"], fmts)):
+        img = codecs.decode(bytes(data), fmt)
+        imgs[i] = img
+        exp = synth.expected_pixels(ids[i], hp=int(hp[i]))
+        d = np.subtract(img, exp, dtype=np.int16)
+        sq = int(np.square(d, dtype=np.int32).sum(dtype=np.int64))
+        if sq == 0:
+            psnr_arr[i] = 1e9
+            pix_ok[i] = True
+        else:
+            p = 10.0 * np.log10(255.0 * 255.0 / (sq / float(d.size)))
+            psnr_arr[i] = p
+            # lossless formats demand exact pixels; only tdc may pass
+            # on PSNR
+            pix_ok[i] = fmt == "tdc" and p >= psnr_floor
+
+    # phash in small same-size chunks: amortizes ~15 numpy dispatches
+    # per image while the (chunk, 32, 32) gray stack stays in cache
+    by_size: dict[tuple[int, int], list[int]] = {}
+    for i, img in enumerate(imgs):
+        by_size.setdefault(img.shape[:2], []).append(i)
+    for idxs in by_size.values():
+        for c0 in range(0, len(idxs), _PHASH_CHUNK):
+            grp = np.asarray(idxs[c0 : c0 + _PHASH_CHUNK])
+            stack = np.stack([imgs[i] for i in grp])
+            ph_ok[grp] = phashes[grp].astype(np.int64) == codecs.phash_batch(stack)
+
+    hc = synth.id_hashes(ids, "#cap")
+    adj_i = (hc % np.uint64(len(synth._ADJS))).astype(np.int64)
+    noun_i = ((hc >> np.uint64(8)) % np.uint64(len(synth._NOUNS))).astype(np.int64)
+    place_i = ((hc >> np.uint64(16)) % np.uint64(len(synth._PLACES))).astype(np.int64)
+    cap_ok = np.array(
+        [
+            c == f"a {synth._ADJS[a]} {synth._NOUNS[b]} near {synth._PLACES[p_]}"
+            for c, a, b, p_ in zip(pdf["caption"], adj_i, noun_i, place_i)
+        ],
+        dtype=bool,
+    )
+    return pd.DataFrame(
+        {
+            "image_id": pdf["image_id"],
+            "fmt": pdf["fmt"],
+            "psnr": psnr_arr,
+            "pixels_ok": pix_ok,
+            "caption_ok": cap_ok,
+            "phash_ok": ph_ok,
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -138,12 +138,18 @@ def flagship_validated(
     scene = synth.default_scene()
     if images is None:
         images = load_images(spark, n_images)
-    # decode is ~ms/image: right-size tasks to 4×cores regardless of
-    # input file layout (a 2.3 ms/row stage quantizes badly when task
-    # count ≈ core count; the shuffle is cheap relative to decode)
+    # decode is ~ms/image, so it needs fine-grained tasks.  The RIGHT
+    # source of that granularity is the scan itself (row-capped files +
+    # a decode-tuned spark.sql.files.maxPartitionBytes — what a real
+    # cluster job would set); only when the layout doesn't provide it
+    # (few/huge input files) fall back to a round-robin repartition —
+    # that path shuffles every image byte, so it's the exception, not
+    # the default.
     n_tasks = spark.sparkContext.defaultParallelism * 4
+    if images.rdd.getNumPartitions() < n_tasks:
+        images = images.repartition(n_tasks)
     valid = (
-        ops.decode_validate(images.repartition(n_tasks))
+        ops.decode_validate(images)
         .filter(F.col("pixels_ok") & F.col("caption_ok") & F.col("phash_ok"))
         .select("image_id")
     )

@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 
 def key_histogram(df: DataFrame, key: str, top: int = 1000) -> pd.DataFrame:
-    """Top-N key counts plus summary stats — the salt-planner input."""
+    """Top-N key counts plus summary stats — the salt-planner input.
+
+    ``top`` bounds the driver fetch: only the ``top`` hottest keys can
+    ever be salted, which is the planner's contract — a key outside the
+    top-1000 is by definition not a skew problem (everything below it
+    is ≤ the 1000th-hottest count; pick a larger ``top`` if max_rows is
+    set below table_rows/1000)."""
     return (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -37,11 +43,11 @@ def key_histogram(df: DataFrame, key: str, top: int = 1000) -> pd.DataFrame:
 
 
 def plan_salts(hist: pd.DataFrame, key: str, max_rows: int) -> dict:
-    """keys whose count exceeds max_rows → number of salt buckets."""
+    """keys whose count exceeds max_rows → number of salt buckets
+    (vectorized over the bounded top-N histogram)."""
     hot = hist[hist["cnt"] > max_rows]
-    return {
-        row[key]: int(np.ceil(row["cnt"] / max_rows)) for _i, row in hot.iterrows()
-    }
+    buckets = np.ceil(hot["cnt"].to_numpy(np.float64) / max_rows).astype(int)
+    return dict(zip(hot[key].tolist(), (int(b) for b in buckets)))
 
 
 def with_salt(df: DataFrame, key: str, salt_map: dict, row_hash_col: str) -> DataFrame:

@@ -197,19 +197,43 @@ def _px_checker(h: int, w: int, period: int):
     return c
 
 
-def expected_pixels(image_id: str) -> np.ndarray:
-    """Deterministic RGB image for an id — the oracle for the PSNR check."""
-    hp = codecs.xxh64((image_id + "#px").encode()) & ((1 << 64) - 1)
+def expected_pixels(image_id: str, hp: int | None = None) -> np.ndarray:
+    """Deterministic RGB image for an id — the oracle for the PSNR check.
+
+    ``hp`` lets a batch caller pass the pre-vectorized ``xxh64(id+'#px')``
+    (see :func:`id_hashes`) so the per-image Python hash is skipped.
+    In-place accumulation, ×2 folded into the (3,) gradients: power-of-
+    two scaling is exact and commutes with the multiply's rounding, so
+    the pixels are bit-identical to the original formulation."""
+    if hp is None:
+        hp = codecs.xxh64((image_id + "#px").encode()) & ((1 << 64) - 1)
     w = IMAGE_SIZES[hp % 3]
     h = IMAGE_SIZES[(hp >> 2) % 3]
     base = np.array([(hp >> 8) & 0xFF, (hp >> 16) & 0xFF, (hp >> 24) & 0xFF], dtype=np.float64)
     gx = np.array([(hp >> 32) & 0x3F, (hp >> 38) & 0x3F, (hp >> 44) & 0x3F], dtype=np.float64) - 32.0
     gy = np.array([(hp >> 50) & 0x3F, (hp >> 56) & 0x3F, hp & 0x3F], dtype=np.float64) - 32.0
     yy3, xx3 = _px_grid(h, w)
-    img = base[None, None, :] + xx3 * gx[None, None, :] * 2.0 + yy3 * gy[None, None, :] * 2.0
+    img = xx3 * (gx * 2.0)[None, None, :]
+    img += base[None, None, :]
+    t = yy3 * (gy * 2.0)[None, None, :]
+    img += t
     period = 4 + (hp >> 5) % 8
     img += _px_checker(h, w, int(period))
-    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    np.rint(img, out=img)
+    np.clip(img, 0, 255, out=img)
+    return img.astype(np.uint8)
+
+
+def id_hashes(ids: list[str], suffix: str) -> np.ndarray:
+    """Vectorized ``xxh64(id + suffix) & M64`` → uint64 (n,).  Falls
+    back to the scalar mirror when ids are not equal-length (the
+    vectorized fixed-width path requires it)."""
+    lens = {len(s) for s in ids}
+    if len(lens) == 1 and next(iter(lens)) + len(suffix) < 32:
+        return codecs.xxh64_strings([s + suffix for s in ids]).astype(np.uint64)
+    return np.array(
+        [codecs.xxh64((s + suffix).encode()) for s in ids], dtype=np.int64
+    ).astype(np.uint64)
 
 
 def expected_caption(image_id: str) -> str:
@@ -296,11 +320,15 @@ def ensure_images_table(spark, n: int, cache_root: str = "/root/repo/.synth") ->
     # bucket instead of gen_partitions × pcells tiny files), but cap
     # rows per file so Zipf-dense cells still split into multiple scan
     # tasks — otherwise the densest cell becomes a straggler task for
-    # every downstream decode stage
+    # every downstream decode stage.  2500 rows ≈ 7 MB ≈ 0.5-0.8 s of
+    # decode: small enough that a decode-tuned maxPartitionBytes gives
+    # the validated flagship its task granularity from the LAYOUT (no
+    # repartition shuffle of the image bytes), large enough that pure
+    # scans aren't task-overhead-bound
     (
         df.repartition(64, "pcell")
         .write.mode("overwrite")
-        .option("maxRecordsPerFile", 20000)
+        .option("maxRecordsPerFile", 2500)
         .partitionBy("pcell")
         .parquet(path)
     )

@@ -126,3 +126,46 @@ def test_make_row_invariants():
             assert p >= 40.0
         assert row["caption"] == synth.expected_caption(row["image_id"])
         assert row["phash"] == codecs.phash(img)
+
+
+def test_validate_kernel_matches_scalar_path():
+    """r5 pin: the hybrid validate kernel (vectorized id hashes,
+    integer PSNR, chunked phash_batch, in-place expected_pixels /
+    tdc_decode) is bit-identical to the naive per-row scalar
+    composition across all formats and sizes — including a corrupted
+    row exercising the failure outputs."""
+    import pandas as pd
+
+    from ib_tool_spark import ops
+
+    rows = [synth.make_row(i) for i in range(120)]
+    pdf = pd.DataFrame(rows)
+    # corrupt one caption and one phash; swap one payload for a wrong
+    # image (PSNR mismatch)
+    pdf.loc[3, "caption"] = "wrong caption"
+    pdf.loc[5, "phash"] = pdf.loc[5, "phash"] ^ 1
+    pdf.loc[7, "bytes"] = codecs.encode(
+        synth.expected_pixels(pdf.loc[11, "image_id"]), pdf.loc[7, "fmt"]
+    ) if synth.expected_pixels(pdf.loc[11, "image_id"]).shape == synth.expected_pixels(pdf.loc[7, "image_id"]).shape else pdf.loc[7, "bytes"]
+    got = ops._validate_pdf(pdf, 40.0)
+    for i, r in pdf.iterrows():
+        img = codecs.decode(bytes(r["bytes"]), r["fmt"])
+        exp = synth.expected_pixels(r["image_id"])
+        p = codecs.psnr(img, exp)
+        want_pix = (p == float("inf")) if r["fmt"] in ("png", "ppm") else (p >= 40.0)
+        assert got.loc[i, "psnr"] == min(p, 1e9), i
+        assert bool(got.loc[i, "pixels_ok"]) == want_pix, i
+        assert bool(got.loc[i, "caption_ok"]) == (r["caption"] == synth.expected_caption(r["image_id"])), i
+        assert bool(got.loc[i, "phash_ok"]) == (int(r["phash"]) == codecs.phash(img)), i
+    assert not got.loc[3, "caption_ok"] and not got.loc[5, "phash_ok"]
+
+
+def test_phash_batch_matches_scalar():
+    """phash_batch over every (h, w) size must equal scalar phash."""
+    rng = np.random.RandomState(3)
+    for h in (16, 32, 64):
+        for w in (16, 32, 64):
+            imgs = rng.randint(0, 256, size=(7, h, w, 3), dtype=np.uint8)
+            got = codecs.phash_batch(imgs)
+            for k in range(imgs.shape[0]):
+                assert got[k] == codecs.phash(imgs[k]), (h, w, k)
