@@ -1135,6 +1135,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_partition_assign"] = geo_partition_assign
 
+    def geo_thiessen_partitions(spark, sf_dir):
+        # The reference's ACTUAL partition generator (Partitioning.pyt
+        # :84-119): density raster → Thiessen polygons of dense cell
+        # centers → walls within cell_size//2 of dense points deleted →
+        # polygonize.  Exact bounded-Voronoi kernel (geom.voronoi_cells,
+        # half-plane clipping vs Delaunay neighbors); parity with the
+        # distributed cell-map partitioner is pinned by
+        # tests/test_voronoi.py.  Rows-only: planar faces of a Voronoi
+        # arrangement are not SQL-expressible.
+        import pandas as pd
+
+        _ship(spark)
+        from ib_tool_spark import delineate, ops, synth
+
+        n = min(synth.images_sf_count(sf_dir), 20000)
+        ids = [f"img_{i:012d}" for i in range(n)]
+        pts = ops.with_geocode(spark.createDataFrame(pd.DataFrame({"image_id": ids})))
+        return delineate.thiessen_partitions(pts).select(
+            "part", F.round("area", 6).alias("area")
+        )
+
+    q["geo_thiessen_partitions"] = geo_thiessen_partitions
+
     def geo_mst_clusters(spark, sf_dir):
         _ship(spark)
         from ib_tool_spark import delineate, synth

@@ -502,6 +502,142 @@ def delaunay_edges(pts: np.ndarray) -> np.ndarray:
     return np.array(sorted(edges), dtype=np.int64)
 
 
+def _clip_halfplane(ring: np.ndarray, ax: float, ay: float, bx: float, by: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of a convex ring against the bisector
+    half-plane closer to site a than site b: keep {p : (b−a)·p ≤
+    (b−a)·(a+b)/2}.  Returns the clipped ring (possibly empty)."""
+    nx_, ny_ = bx - ax, by - ay
+    c = (nx_ * (ax + bx) + ny_ * (ay + by)) * 0.5
+    d = ring[:, 0] * nx_ + ring[:, 1] * ny_ - c
+    m = ring.shape[0]
+    out: list[np.ndarray] = []
+    for i in range(m):
+        j = (i + 1) % m
+        di, dj = d[i], d[j]
+        if di <= 0.0:
+            out.append(ring[i])
+        if (di < 0.0 < dj) or (dj < 0.0 < di):
+            t = di / (di - dj)
+            out.append(ring[i] + t * (ring[j] - ring[i]))
+    if len(out) < 3:
+        return np.empty((0, 2), dtype=np.float64)
+    return np.asarray(out, dtype=np.float64)
+
+
+def voronoi_cells(
+    pts: np.ndarray, bbox: tuple[float, float, float, float]
+) -> list[np.ndarray]:
+    """Bounded Voronoi (Thiessen) cells — CreateThiessenPolygons
+    analogue (Partitioning.pyt:94), one CCW convex ring per site.
+
+    Cell i = bbox ∩ bisector half-planes against site i's Delaunay
+    neighbors.  This is exact: Voronoi adjacency is a subset of any
+    Delaunay triangulation's adjacency, and clipping by a non-neighbor's
+    bisector removes nothing (the true cell lies inside every bisector
+    half-plane), so degenerate cocircular/collinear lattice sites —
+    where the triangulation's diagonal choice is arbitrary — cannot
+    change the output.  O(n · deg) driver-scale kernel, same scope as
+    delaunay_edges (the reference triangulates one study area at a
+    time)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    minx, miny, maxx, maxy = (float(v) for v in bbox)
+    base = np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]], dtype=np.float64
+    )
+    n = pts.shape[0]
+    if n == 0:
+        return []
+    if n == 1:
+        return [base.copy()]
+    edges = delaunay_edges(pts)
+    nbrs: list[list[int]] = [[] for _ in range(n)]
+    for a, b in edges:
+        nbrs[int(a)].append(int(b))
+        nbrs[int(b)].append(int(a))
+    cells: list[np.ndarray] = []
+    for i in range(n):
+        ring = base
+        for j in nbrs[i]:
+            ring = _clip_halfplane(
+                ring, float(pts[i, 0]), float(pts[i, 1]), float(pts[j, 0]), float(pts[j, 1])
+            )
+            if ring.shape[0] == 0:
+                break
+        cells.append(ring)
+    return cells
+
+
+def _segment_site_mindist(segs: np.ndarray, sites: np.ndarray) -> np.ndarray:
+    """Min distance from each segment (S, 4) to any site (N, 2) — the
+    WITHIN_A_DISTANCE deletion test of Partitioning.pyt:103-105.
+    Vectorized point-to-segment distance, batched over segments so the
+    (batch, N) temporaries stay bounded."""
+    segs = np.asarray(segs, dtype=np.float64)
+    sites = np.asarray(sites, dtype=np.float64)
+    S = segs.shape[0]
+    out = np.empty(S, dtype=np.float64)
+    if S == 0:
+        return out
+    if sites.shape[0] == 0:
+        out[:] = np.inf
+        return out
+    batch = max(1, int(2_000_000 / max(sites.shape[0], 1)))
+    px, py = sites[:, 0], sites[:, 1]
+    for s in range(0, S, batch):
+        e = min(S, s + batch)
+        a = segs[s:e, :2][:, None, :]  # (B, 1, 2)
+        d = (segs[s:e, 2:] - segs[s:e, :2])[:, None, :]
+        L2 = (d * d).sum(axis=2)
+        ap = np.stack([px[None, :] - a[:, :, 0], py[None, :] - a[:, :, 1]], axis=2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.clip((ap * d).sum(axis=2) / np.where(L2 > 0.0, L2, 1.0), 0.0, 1.0)
+        foot = a + t[:, :, None] * d
+        dx = foot[:, :, 0] - px[None, :]
+        dy = foot[:, :, 1] - py[None, :]
+        out[s:e] = np.sqrt(dx * dx + dy * dy).min(axis=1)
+    return out
+
+
+def thiessen_partition_polygons(
+    sites: np.ndarray,
+    bbox: tuple[float, float, float, float],
+    radius_del: float,
+    snap: float = 1e-6,
+) -> list[list[np.ndarray]]:
+    """The reference's Thiessen partition chain (Partitioning.pyt
+    :94-108): Thiessen polygons of the dense raster points → polygon
+    boundaries as line segments → delete every segment within
+    ``radius_del`` of a dense point → polygonize the remainder.  The
+    surviving segments are the Voronoi walls running through EMPTY
+    space midway between settlement clusters (plus the bbox frame), so
+    the faces are the partition polygons, each enclosing one cluster.
+
+    Returns polygonize faces (list of even-odd ring lists), ordered by
+    the arrangement walk — callers needing stable names sort by face
+    minimum vertex."""
+    cells = voronoi_cells(sites, bbox)
+    segs: list[np.ndarray] = []
+    for ring in cells:
+        if ring.shape[0] < 3:
+            continue
+        nxt = np.roll(ring, -1, axis=0)
+        segs.append(np.hstack([ring, nxt]))
+    if not segs:
+        return []
+    seg_arr = np.vstack(segs)
+    # WITHIN_A_DISTANCE is inclusive; the relative epsilon keeps the
+    # exactly-radius_del bisectors between lattice-adjacent sites (cell
+    # spacing = 2·radius_del in the reference's parameterization) on the
+    # delete side despite clip-order float noise
+    dmin = _segment_site_mindist(seg_arr, sites)
+    keep = dmin > radius_del * (1.0 + 1e-9)
+    if not np.any(keep):
+        return []
+    # adjacent cells contribute ulp-twin duplicates of every shared
+    # wall; polygonize's snap noding merges them
+    return polygonize(seg_arr[keep], snap=snap)
+
+
 # ---------------------------------------------------------------------------
 # Cell-set topology: connected components + boundary tracing
 # (the engine's dissolve/raster→vector kernels, SURVEY.md A1/A5/G7)
