@@ -504,12 +504,22 @@ def _validate_pdf(pdf: pd.DataFrame, psnr_floor: float) -> pd.DataFrame:
 
     hp = synth.id_hashes(ids, "#px")
     imgs: list = [None] * n
+    dbuf: dict[tuple[int, int, int], np.ndarray] = {}
     for i, (data, fmt) in enumerate(zip(pdf["bytes"], fmts)):
         img = codecs.decode(bytes(data), fmt)
         imgs[i] = img
-        exp = synth.expected_pixels(ids[i], hp=int(hp[i]))
-        d = np.subtract(img, exp, dtype=np.int16)
-        sq = int(np.square(d, dtype=np.int32).sum(dtype=np.int64))
+        # float64 scratch twin of expected_pixels: its values are exact
+        # integers 0..255, so img - exp, the squares, and every partial
+        # sum are exact in float64 (all < 2^53) — sq is the same
+        # integer the int16/int64 formulation produced, with zero
+        # per-image allocations
+        exp = synth.expected_pixels_f(ids[i], hp=int(hp[i]))
+        d = dbuf.get(exp.shape)
+        if d is None:
+            d = dbuf[exp.shape] = np.empty_like(exp)
+        np.subtract(img, exp, out=d)
+        np.square(d, out=d)
+        sq = int(d.sum())
         if sq == 0:
             psnr_arr[i] = 1e9
             pix_ok[i] = True

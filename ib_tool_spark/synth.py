@@ -197,14 +197,20 @@ def _px_checker(h: int, w: int, period: int):
     return c
 
 
-def expected_pixels(image_id: str, hp: int | None = None) -> np.ndarray:
-    """Deterministic RGB image for an id — the oracle for the PSNR check.
+# Per-(h, w) float64 scratch pair reused across expected_pixels_f
+# calls — the contract kernel synthesizes ~10⁵ expected images per
+# task, and the two (h, w, 3) allocations per call were its largest
+# cost after the r4 grid caching.  Worker processes are single-threaded
+# per task, so plain module state is safe.
+_PX_SCRATCH: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
-    ``hp`` lets a batch caller pass the pre-vectorized ``xxh64(id+'#px')``
-    (see :func:`id_hashes`) so the per-image Python hash is skipped.
-    In-place accumulation, ×2 folded into the (3,) gradients: power-of-
-    two scaling is exact and commutes with the multiply's rounding, so
-    the pixels are bit-identical to the original formulation."""
+
+def expected_pixels_f(image_id: str, hp: int | None = None) -> np.ndarray:
+    """Float64 twin of :func:`expected_pixels` in a REUSED scratch
+    buffer: same operation order, so ``astype(uint8)`` of the result is
+    bit-identical to expected_pixels.  The returned array is only valid
+    until the next call with the same (h, w) — callers must consume it
+    immediately (the validate kernel subtracts it the next line)."""
     if hp is None:
         hp = codecs.xxh64((image_id + "#px").encode()) & ((1 << 64) - 1)
     w = IMAGE_SIZES[hp % 3]
@@ -213,15 +219,34 @@ def expected_pixels(image_id: str, hp: int | None = None) -> np.ndarray:
     gx = np.array([(hp >> 32) & 0x3F, (hp >> 38) & 0x3F, (hp >> 44) & 0x3F], dtype=np.float64) - 32.0
     gy = np.array([(hp >> 50) & 0x3F, (hp >> 56) & 0x3F, hp & 0x3F], dtype=np.float64) - 32.0
     yy3, xx3 = _px_grid(h, w)
-    img = xx3 * (gx * 2.0)[None, None, :]
+    bufs = _PX_SCRATCH.get((h, w))
+    if bufs is None:
+        bufs = (np.empty((h, w, 3), dtype=np.float64), np.empty((h, w, 3), dtype=np.float64))
+        _PX_SCRATCH[(h, w)] = bufs
+    img, t = bufs
+    np.multiply(xx3, (gx * 2.0)[None, None, :], out=img)
     img += base[None, None, :]
-    t = yy3 * (gy * 2.0)[None, None, :]
+    np.multiply(yy3, (gy * 2.0)[None, None, :], out=t)
     img += t
     period = 4 + (hp >> 5) % 8
     img += _px_checker(h, w, int(period))
     np.rint(img, out=img)
-    np.clip(img, 0, 255, out=img)
-    return img.astype(np.uint8)
+    # clip(x, 0, 255) == maximum-then-minimum for non-NaN float64;
+    # the two in-place ufuncs skip np.clip's dispatch wrapper
+    np.maximum(img, 0.0, out=img)
+    np.minimum(img, 255.0, out=img)
+    return img
+
+
+def expected_pixels(image_id: str, hp: int | None = None) -> np.ndarray:
+    """Deterministic RGB image for an id — the oracle for the PSNR check.
+
+    ``hp`` lets a batch caller pass the pre-vectorized ``xxh64(id+'#px')``
+    (see :func:`id_hashes`) so the per-image Python hash is skipped.
+    In-place accumulation, ×2 folded into the (3,) gradients: power-of-
+    two scaling is exact and commutes with the multiply's rounding, so
+    the pixels are bit-identical to the original formulation."""
+    return expected_pixels_f(image_id, hp).astype(np.uint8)
 
 
 def id_hashes(ids: list[str], suffix: str) -> np.ndarray:
