@@ -2101,29 +2101,19 @@ def oracle_sql() -> dict[str, str]:
 
         # t_minhash_lsh: the full minhash→banding→bucket-cap→pair→
         # estimate cascade recomputed in SQL.  The mirror table maps
-        # every OBSERVED bigram shingle, suffixed '#i' for each of the 8
-        # hash slots, to its xxh64 (bit-exact vs Spark's xxhash64 seed
-        # 42) — the bigram shingle space over this corpus's tiny token
-        # vocabulary keeps the literal mirror in the hundreds of KB
+        # every bigram over the FULL V×V token-vocabulary cross product
+        # (V = 31 at every sf — the generator's vocabulary is fixed, so
+        # the mirror is corpus-independent and the oracle holds at any
+        # scale; the round-5 sf0.1 sweep caught the observed-shingles
+        # version going stale on unseen bigrams), suffixed '#i' for each
+        # of the 8 hash slots, to its xxh64 (bit-exact vs Spark's
+        # xxhash64 seed 42) — 961×8 rows, still hundreds of KB
         # (trigram/32-hash would be megabytes; that variant runs as the
         # rows-only t_minhash_lsh_tri extra).  Candidate pairs come from
         # band-slice equality: Spark buckets by xxhash64 of the slice
         # string, so the sets agree exactly unless two observed slices
         # collide in 64 bits.
-        _bigrams = sorted(
-            {
-                f"{toks[j]} {toks[j + 1]}"
-                for t in _texts
-                for toks in [
-                    [
-                        x
-                        for x in _re.sub("[^a-z0-9]+", " ", t.lower()).strip().split(" ")
-                        if x
-                    ]
-                ]
-                for j in range(len(toks) - 1)
-            }
-        )
+        _bigrams = sorted(f"{a} {b}" for a in _vocab for b in _vocab)
         _mh_rows = ", ".join(
             f"('{sh}#{i}', CAST({_codecs.xxh64(f'{sh}#{i}'.encode('utf-8'))} AS BIGINT))"
             for sh in _bigrams
