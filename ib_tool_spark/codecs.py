@@ -290,22 +290,41 @@ def tdc_encode(img: np.ndarray) -> bytes:
     return struct.pack(">4sII", b"TDC1", w, h) + payload
 
 
+def _idct_pixels(q: np.ndarray) -> np.ndarray:
+    """IDCT + de-center + clamp for a flat (N, 8, 8) block stack →
+    (8, N, 8) float64 pixels (i = row-in-block, j = col-in-block).
+
+    Two thin GEMMs instead of N stacked 8×8 matmuls: out1 = Dᵀ·Q with Q
+    laid out (8ᵣ, N·8ᶜ), then ·D with the result laid out (8ᵢ·N, 8ᶜ).
+    Each output element is the same ordered 8-term dot product the
+    stacked ``_DCT8.T @ q @ _DCT8`` computed (dgemm's sequential
+    k-loop), so pixels are bit-identical — pinned by the codec tests.
+    (A cross-image concatenated variant was measured and REJECTED: the
+    wide thin GEMM trips multithreaded BLAS paths that are both slower
+    under 32-way executors and not bit-stable.)"""
+    n = q.shape[0]
+    qt = np.ascontiguousarray(q.transpose(1, 0, 2)).reshape(8, n * 8)
+    out1 = (_DCT8.T @ qt).reshape(8 * n, 8)
+    blocks = (out1 @ _DCT8).reshape(8, n, 8)
+    blocks += 128.0
+    np.rint(blocks, out=blocks)
+    np.clip(blocks, 0, 255, out=blocks)
+    return blocks
+
+
+def _deblock(pix: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(8, N, 8) float64 block pixels for ONE image → (h, w, 3) uint8."""
+    a, b = h // 8, w // 8
+    u8 = pix.astype(np.uint8).reshape(8, a, b, 3, 8)
+    return np.ascontiguousarray(u8.transpose(1, 0, 2, 4, 3).reshape(h, w, 3))
+
+
 def tdc_decode(data: bytes) -> np.ndarray:
     magic, w, h = struct.unpack(">4sII", data[:12])
     assert magic == b"TDC1"
     q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16).astype(np.float64)
     q *= _TDC_STEP
-    q = q.reshape(h // 8, w // 8, 3, 8, 8)
-    blocks = _DCT8.T @ q @ _DCT8  # batched IDCT, see tdc_encode note
-    # clamp BEFORE the de-block transpose (elementwise — transpose-
-    # invariant, bit-identical) so the +128/rint/clip run in place on
-    # the contiguous block array instead of allocating 3 temporaries
-    blocks += 128.0
-    np.rint(blocks, out=blocks)
-    np.clip(blocks, 0, 255, out=blocks)
-    return np.ascontiguousarray(
-        blocks.astype(np.uint8).transpose(0, 3, 1, 4, 2).reshape(h, w, 3)
-    )
+    return _deblock(_idct_pixels(q.reshape(-1, 8, 8)), w, h)
 
 
 

@@ -478,20 +478,19 @@ def decode_validate(df: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
     return df.mapInPandas(check, VALIDATE_SCHEMA)
 
 
-_PHASH_CHUNK = 48  # small enough to stay cache-resident at 64×64
 
 
 def _validate_pdf(pdf: pd.DataFrame, psnr_floor: float) -> pd.DataFrame:
-    """Hybrid validate kernel — one Arrow batch in, one out, same row
-    order.  Per-image work stays per-image (decode, expected-pixel
-    synthesis, PSNR) so each ~100 KB working set stays cache-resident —
-    measured: full-batch stacking loses to the scalar loop under
-    32-way executor parallelism because the big float64 stacks saturate
-    shared memory bandwidth.  What IS batched is the cheap-to-batch:
-    the id hashes (two vectorized xxh64 sweeps per batch), the caption
-    index math, and phash in small cache-sized chunks.  PSNR uses exact
-    integer sums — equal to the float64 mean bit-for-bit (every partial
-    sum is an exact integer < 2⁵³)."""
+    """Chunked validate kernel — one Arrow batch in, one out, same row
+    order.  Decode stays per-image (variable formats/sizes); everything
+    downstream runs over same-(h, w) chunks sized to stay cache-bound
+    (`synth.px_batch_chunk`): expected pixels are synthesized as one
+    (k, h, w, 3) stack (`synth.expected_pixels_batch` — bit-identical
+    per element to the scalar path), the decoded stack is built ONCE
+    and shared by the PSNR diff and the phash check, and the id hashes
+    / caption index math are vectorized per batch.  PSNR uses exact
+    integer sums — equal to the float64 mean bit-for-bit (every
+    partial sum is an exact integer < 2⁵³, in any summation order)."""
     from . import codecs
 
     n = len(pdf)
@@ -504,41 +503,35 @@ def _validate_pdf(pdf: pd.DataFrame, psnr_floor: float) -> pd.DataFrame:
 
     hp = synth.id_hashes(ids, "#px")
     imgs: list = [None] * n
-    dbuf: dict[tuple[int, int, int], np.ndarray] = {}
     for i, (data, fmt) in enumerate(zip(pdf["bytes"], fmts)):
-        img = codecs.decode(bytes(data), fmt)
-        imgs[i] = img
-        # float64 scratch twin of expected_pixels: its values are exact
-        # integers 0..255, so img - exp, the squares, and every partial
-        # sum are exact in float64 (all < 2^53) — sq is the same
-        # integer the int16/int64 formulation produced, with zero
-        # per-image allocations
-        exp = synth.expected_pixels_f(ids[i], hp=int(hp[i]))
-        d = dbuf.get(exp.shape)
-        if d is None:
-            d = dbuf[exp.shape] = np.empty_like(exp)
-        np.subtract(img, exp, out=d)
-        np.square(d, out=d)
-        sq = int(d.sum())
-        if sq == 0:
-            psnr_arr[i] = 1e9
-            pix_ok[i] = True
-        else:
-            p = 10.0 * np.log10(255.0 * 255.0 / (sq / float(d.size)))
-            psnr_arr[i] = p
-            # lossless formats demand exact pixels; only tdc may pass
-            # on PSNR
-            pix_ok[i] = fmt == "tdc" and p >= psnr_floor
+        imgs[i] = codecs.decode(bytes(data), fmt)
 
-    # phash in small same-size chunks: amortizes ~15 numpy dispatches
-    # per image while the (chunk, 32, 32) gray stack stays in cache
+    is_tdc = fmts == "tdc"
     by_size: dict[tuple[int, int], list[int]] = {}
     for i, img in enumerate(imgs):
         by_size.setdefault(img.shape[:2], []).append(i)
-    for idxs in by_size.values():
-        for c0 in range(0, len(idxs), _PHASH_CHUNK):
-            grp = np.asarray(idxs[c0 : c0 + _PHASH_CHUNK])
+    for (hh, ww), idxs in by_size.items():
+        npx = float(hh * ww * 3)
+        chunk = synth.px_batch_chunk(hh, ww)
+        for c0 in range(0, len(idxs), chunk):
+            grp = np.asarray(idxs[c0 : c0 + chunk])
             stack = np.stack([imgs[i] for i in grp])
+            # exp values are exact integers 0..255 in float64, so
+            # stack - exp, the squares, and every partial sum are exact
+            # (all < 2^53) — sq is the same integer the scalar loop
+            # produced regardless of summation order
+            d = synth.expected_pixels_batch(hp[grp], hh, ww)
+            np.subtract(stack, d, out=d)
+            np.square(d, out=d)
+            sq = d.reshape(len(grp), -1).sum(axis=1)
+            zero = sq == 0.0
+            p = np.where(
+                zero, 1e9, 10.0 * np.log10(255.0 * 255.0 / (np.maximum(sq, 1.0) / npx))
+            )
+            psnr_arr[grp] = p
+            # lossless formats demand exact pixels; only tdc may pass
+            # on PSNR
+            pix_ok[grp] = zero | (is_tdc[grp] & (p >= psnr_floor))
             ph_ok[grp] = phashes[grp].astype(np.int64) == codecs.phash_batch(stack)
 
     hc = synth.id_hashes(ids, "#cap")

@@ -238,6 +238,67 @@ def expected_pixels_f(image_id: str, hp: int | None = None) -> np.ndarray:
     return img
 
 
+@lru_cache(maxsize=None)
+def _px_checker_all(h: int, w: int):
+    """All eight period variants of the checker term stacked (8, h, w, 1)
+    so a batch caller can gather per-image checkers in one fancy-index."""
+    stack = np.stack([_px_checker(h, w, p) for p in range(4, 12)])
+    stack.setflags(write=False)
+    return stack
+
+
+# (h, w) → (img, t) float64 chunk scratch reused across
+# expected_pixels_batch calls (same single-threaded-per-task argument
+# as _PX_SCRATCH).
+_PX_BATCH_SCRATCH: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+# Target float64 bytes for one batch-synthesis chunk: big enough to
+# amortize numpy dispatch over dozens of images, small enough that the
+# two scratch stacks stay L3-resident per core under 32-way executors.
+_PX_BATCH_BYTES = 3 << 20
+
+
+def px_batch_chunk(h: int, w: int) -> int:
+    """Images per synthesis chunk at (h, w) — adaptive to image size."""
+    return max(16, min(256, _PX_BATCH_BYTES // (h * w * 3 * 8)))
+
+
+def expected_pixels_batch(hps: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Vectorized float64 twin of :func:`expected_pixels_f` for a chunk
+    of images sharing one (h, w): returns a (k, h, w, 3) stack in a
+    REUSED scratch buffer (valid until the next same-shape call).
+
+    Per-element operation order is identical to the scalar path —
+    multiply, +base, +row-term, +checker, rint, max, min — so every
+    pixel is bit-identical to ``expected_pixels_f``; only the numpy
+    dispatch count drops from ~15 per image to ~10 per chunk."""
+    hp = np.ascontiguousarray(hps, dtype=np.uint64)
+    k = len(hp)
+    base = np.stack([(hp >> 8) & 0xFF, (hp >> 16) & 0xFF, (hp >> 24) & 0xFF], axis=1).astype(np.float64)
+    gx = np.stack([(hp >> 32) & 0x3F, (hp >> 38) & 0x3F, (hp >> 44) & 0x3F], axis=1).astype(np.float64) - 32.0
+    gy = np.stack([(hp >> 50) & 0x3F, (hp >> 56) & 0x3F, hp & 0x3F], axis=1).astype(np.float64) - 32.0
+    yy3, xx3 = _px_grid(h, w)
+    cap = max(k, px_batch_chunk(h, w))
+    bufs = _PX_BATCH_SCRATCH.get((h, w))
+    if bufs is None or bufs[0].shape[0] < k:
+        bufs = (
+            np.empty((cap, h, w, 3), dtype=np.float64),
+            np.empty((cap, h, w, 3), dtype=np.float64),
+        )
+        _PX_BATCH_SCRATCH[(h, w)] = bufs
+    img, t = bufs[0][:k], bufs[1][:k]
+    np.multiply(xx3[None], (gx * 2.0)[:, None, None, :], out=img)
+    img += base[:, None, None, :]
+    np.multiply(yy3[None], (gy * 2.0)[:, None, None, :], out=t)
+    img += t
+    periods = ((hp >> 5) % 8).astype(np.int64)
+    img += _px_checker_all(h, w)[periods]
+    np.rint(img, out=img)
+    np.maximum(img, 0.0, out=img)
+    np.minimum(img, 255.0, out=img)
+    return img
+
+
 def expected_pixels(image_id: str, hp: int | None = None) -> np.ndarray:
     """Deterministic RGB image for an id — the oracle for the PSNR check.
 
