@@ -169,3 +169,52 @@ def test_phash_batch_matches_scalar():
             got = codecs.phash_batch(imgs)
             for k in range(imgs.shape[0]):
                 assert got[k] == codecs.phash(imgs[k]), (h, w, k)
+
+
+def test_expected_pixels_batch_matches_scalar():
+    """r5 pin: the chunked expected-pixel synthesis is bit-identical to
+    the scalar path for every (h, w) size and checker period.  Ids are
+    drawn until all 9 sizes and all 8 periods appear."""
+    ids = [f"img_{i:012d}" for i in range(400)]
+    hp = synth.id_hashes(ids, "#px")
+    by_size: dict[tuple[int, int], list[int]] = {}
+    periods = set()
+    for i, h in enumerate(hp):
+        w = synth.IMAGE_SIZES[int(h) % 3]
+        hh = synth.IMAGE_SIZES[(int(h) >> 2) % 3]
+        by_size.setdefault((hh, w), []).append(i)
+        periods.add(4 + (int(h) >> 5) % 8)
+    assert len(by_size) == 9 and len(periods) == 8
+    for (hh, ww), idxs in by_size.items():
+        grp = np.asarray(idxs)
+        batch = synth.expected_pixels_batch(hp[grp], hh, ww).copy()
+        for j, i in enumerate(grp):
+            scalar = synth.expected_pixels_f(ids[i], hp=int(hp[i]))
+            assert np.array_equal(batch[j], scalar), (hh, ww, ids[i])
+
+
+def test_tdc_thin_gemm_matches_stacked_matmul():
+    """r5 pin: the two-thin-GEMM IDCT is bit-identical to the stacked
+    per-block ``D.T @ q @ D`` formulation on every image size."""
+    import struct
+    import zlib
+
+    def stacked_decode(data: bytes) -> np.ndarray:
+        magic, w, h = struct.unpack(">4sII", data[:12])
+        q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16).astype(np.float64)
+        q *= codecs._TDC_STEP
+        q = q.reshape(h // 8, w // 8, 3, 8, 8)
+        blocks = codecs._DCT8.T @ q @ codecs._DCT8
+        blocks += 128.0
+        np.rint(blocks, out=blocks)
+        np.clip(blocks, 0, 255, out=blocks)
+        return np.ascontiguousarray(
+            blocks.astype(np.uint8).transpose(0, 3, 1, 4, 2).reshape(h, w, 3)
+        )
+
+    rng = np.random.RandomState(11)
+    for h in (16, 32, 64):
+        for w in (16, 32, 64):
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            data = codecs.tdc_encode(img)
+            assert np.array_equal(codecs.tdc_decode(data), stacked_decode(data)), (h, w)
