@@ -485,10 +485,11 @@ def _validate_pdf(pdf: pd.DataFrame, psnr_floor: float) -> pd.DataFrame:
     order.  Decode stays per-image (variable formats/sizes); everything
     downstream runs over same-(h, w) chunks sized to stay cache-bound
     (`synth.px_batch_chunk`): expected pixels are synthesized as one
-    (k, h, w, 3) stack (`synth.expected_pixels_batch` — bit-identical
-    per element to the scalar path), the decoded stack is built ONCE
-    and shared by the PSNR diff and the phash check, and the id hashes
-    / caption index math are vectorized per batch.  PSNR uses exact
+    (k, h, w, 3) int16 stack on the exact sixty-fourths lattice
+    (`synth.expected_pixels_batch_i16` — bit-identical per element to
+    the float64 scalar path), the decoded stack is built ONCE and
+    shared by the PSNR diff and the phash check, and the id hashes /
+    caption index math are vectorized per batch.  PSNR uses exact
     integer sums — equal to the float64 mean bit-for-bit (every
     partial sum is an exact integer < 2⁵³, in any summation order)."""
     from . import codecs
@@ -513,17 +514,25 @@ def _validate_pdf(pdf: pd.DataFrame, psnr_floor: float) -> pd.DataFrame:
     for (hh, ww), idxs in by_size.items():
         npx = float(hh * ww * 3)
         chunk = synth.px_batch_chunk(hh, ww)
-        for c0 in range(0, len(idxs), chunk):
-            grp = np.asarray(idxs[c0 : c0 + chunk])
+        # sort by checker period so each synthesis chunk holds at most
+        # 8 contiguous period runs (the batch kernel's checker add then
+        # touches each run once); results scatter back through grp
+        arr = np.asarray(idxs)
+        per = (hp[arr] >> np.uint64(5)) % np.uint64(8)
+        arr = arr[np.argsort(per, kind="stable")]
+        for c0 in range(0, len(arr), chunk):
+            grp = arr[c0 : c0 + chunk]
             stack = np.stack([imgs[i] for i in grp])
-            # exp values are exact integers 0..255 in float64, so
-            # stack - exp, the squares, and every partial sum are exact
-            # (all < 2^53) — sq is the same integer the scalar loop
-            # produced regardless of summation order
-            d = synth.expected_pixels_batch(hp[grp], hh, ww)
-            np.subtract(stack, d, out=d)
-            np.square(d, out=d)
-            sq = d.reshape(len(grp), -1).sum(axis=1)
+            # expected pixels on the exact int16 sixty-fourths lattice
+            # (bit-identical to the float64 scalar path — see
+            # synth.expected_pixels_batch_i16); the diff, squares, and
+            # sums are all exact integers, so sq equals the float64
+            # scalar loop's value bit-for-bit in any summation order
+            q = synth.expected_pixels_batch_i16(hp[grp], hh, ww)
+            ph_ok[grp] = phashes[grp].astype(np.int64) == codecs.phash_batch(stack)
+            np.subtract(stack, q, out=q)
+            d32 = np.multiply(q, q, dtype=np.int32)
+            sq = np.einsum("ij->i", d32.reshape(len(grp), -1), dtype=np.int64).astype(np.float64)
             zero = sq == 0.0
             p = np.where(
                 zero, 1e9, 10.0 * np.log10(255.0 * 255.0 / (np.maximum(sq, 1.0) / npx))
@@ -532,7 +541,6 @@ def _validate_pdf(pdf: pd.DataFrame, psnr_floor: float) -> pd.DataFrame:
             # lossless formats demand exact pixels; only tdc may pass
             # on PSNR
             pix_ok[grp] = zero | (is_tdc[grp] & (p >= psnr_floor))
-            ph_ok[grp] = phashes[grp].astype(np.int64) == codecs.phash_batch(stack)
 
     hc = synth.id_hashes(ids, "#cap")
     adj_i = (hc % np.uint64(len(synth._ADJS))).astype(np.int64)

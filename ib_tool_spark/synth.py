@@ -299,6 +299,84 @@ def expected_pixels_batch(hps: np.ndarray, h: int, w: int) -> np.ndarray:
     return img
 
 
+@lru_cache(maxsize=None)
+def _px_checker_i16(h: int, w: int, period: int):
+    """Checker term pre-scaled by 24·64 as int16 (h, w, 1) — the
+    integer twin of :func:`_px_checker` for the sixty-fourths lattice
+    used by :func:`expected_pixels_batch_i16`."""
+    checker = (
+        ((np.arange(w) // period)[None, :] + (np.arange(h) // period)[:, None]) % 2
+    ).astype(np.int16)
+    c = checker[:, :, None] * np.int16(1536)
+    c.setflags(write=False)
+    return c
+
+
+# (h, w) → (M, T) int16 chunk scratch for expected_pixels_batch_i16
+# (same single-threaded-per-task argument as _PX_SCRATCH).
+_PX_I16_SCRATCH: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def expected_pixels_batch_i16(hps: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Integer twin of :func:`expected_pixels_batch`: a (k, h, w, 3)
+    int16 stack whose values equal ``expected_pixels`` (0..255), in a
+    REUSED scratch buffer (valid until the next same-shape call).
+
+    Bit-identity argument: with w, h ∈ {16, 32, 64} (powers of two) and
+    even integer gradients |gx2|, |gy2| ≤ 64, every float64 operation in
+    the scalar path — x/w, ·gx2, +base, +y/h·gy2, +24·checker — is EXACT
+    (all values are dyadic rationals with denominator ≤ 64 and magnitude
+    ≪ 2⁵³), so the pre-rint pixel is exactly M/64 with
+
+        M = x·gx2·(64/w) + 64·base + y·gy2·(64/h) + 1536·checker
+
+    an integer with |M| ≤ 25 668 (int16-safe, incl. the +32 rounding
+    slack).  ``np.rint``'s round-half-to-even on M/64 then equals the
+    integer formula ``(M + 31 + ((M >> 6) & 1)) >> 6`` — pinned
+    exhaustively over the full int range in tests — and the clip is
+    order-preserved.  The int16 lattice runs ~4× less memory traffic
+    than the float64 path and is what the decode-validate contract uses.
+
+    Callers should pass chunks sorted by checker period so the
+    run-length checker add touches each row range once (any order is
+    still correct)."""
+    hp = np.ascontiguousarray(hps, dtype=np.uint64)
+    k = len(hp)
+    base = np.stack([(hp >> 8) & 0xFF, (hp >> 16) & 0xFF, (hp >> 24) & 0xFF], axis=1).astype(np.int16)
+    gx2 = (np.stack([(hp >> 32) & 0x3F, (hp >> 38) & 0x3F, (hp >> 44) & 0x3F], axis=1).astype(np.int16) - 32) * 2
+    gy2 = (np.stack([(hp >> 50) & 0x3F, (hp >> 56) & 0x3F, hp & 0x3F], axis=1).astype(np.int16) - 32) * 2
+    sx = np.int16(64 // w)
+    sy = np.int16(64 // h)
+    ax = np.arange(w, dtype=np.int16)[None, :, None] * (gx2 * sx)[:, None, :]
+    by = np.arange(h, dtype=np.int16)[None, :, None] * (gy2 * sy)[:, None, :]
+    by += (base << 6)[:, None, :]
+    bufs = _PX_I16_SCRATCH.get((h, w))
+    if bufs is None or bufs[0].shape[0] < k:
+        cap = max(k, px_batch_chunk(h, w))
+        bufs = (
+            np.empty((cap, h, w, 3), dtype=np.int16),
+            np.empty((cap, h, w, 3), dtype=np.int16),
+        )
+        _PX_I16_SCRATCH[(h, w)] = bufs
+    m, t = bufs[0][:k], bufs[1][:k]
+    np.add(by[:, :, None, :], ax[:, None, :, :], out=m)
+    periods = (hp >> np.uint64(5)) % np.uint64(8)
+    b0 = 0
+    for b in range(1, k + 1):
+        if b == k or periods[b] != periods[b0]:
+            m[b0:b] += _px_checker_i16(h, w, int(4 + periods[b0]))
+            b0 = b
+    # round-half-to-even of M/64: (M + 31 + ((M >> 6) & 1)) >> 6
+    np.right_shift(m, 6, out=t)
+    t &= 1
+    t += 31
+    m += t
+    np.right_shift(m, 6, out=m)
+    np.maximum(m, 0, out=m)
+    np.minimum(m, 255, out=m)
+    return m
+
+
 def expected_pixels(image_id: str, hp: int | None = None) -> np.ndarray:
     """Deterministic RGB image for an id — the oracle for the PSNR check.
 

@@ -218,3 +218,42 @@ def test_tdc_thin_gemm_matches_stacked_matmul():
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
             data = codecs.tdc_encode(img)
             assert np.array_equal(codecs.tdc_decode(data), stacked_decode(data)), (h, w)
+
+
+def test_rint_half_even_formula_exhaustive():
+    """r5 pin: the integer round-half-to-even used by the int16
+    expected-pixel lattice, ``(M + 31 + ((M >> 6) & 1)) >> 6``, equals
+    ``np.rint(M / 64)`` for every integer M across (a superset of) the
+    reachable range |M| <= 25 700."""
+    m = np.arange(-200000, 200000, dtype=np.int64)
+    ref = np.rint(m / 64.0).astype(np.int64)
+    got = (m + 31 + ((m >> 6) & 1)) >> 6
+    assert np.array_equal(ref, got)
+
+
+def test_expected_pixels_batch_i16_matches_scalar():
+    """r5 pin: the int16 sixty-fourths-lattice synthesis is bit-identical
+    to the scalar float64 path for every (h, w) size and checker period,
+    in both period-sorted (the validate kernel's order) and raw order."""
+    ids = [f"img_{i:012d}" for i in range(400)]
+    hp = synth.id_hashes(ids, "#px")
+    by_size: dict[tuple[int, int], list[int]] = {}
+    periods = set()
+    for i, h in enumerate(hp):
+        w = synth.IMAGE_SIZES[int(h) % 3]
+        hh = synth.IMAGE_SIZES[(int(h) >> 2) % 3]
+        by_size.setdefault((hh, w), []).append(i)
+        periods.add(4 + (int(h) >> 5) % 8)
+    assert len(by_size) == 9 and len(periods) == 8
+    for sort_by_period in (True, False):
+        for (hh, ww), idxs in by_size.items():
+            grp = np.asarray(idxs)
+            if sort_by_period:
+                per = (hp[grp] >> np.uint64(5)) % np.uint64(8)
+                grp = grp[np.argsort(per, kind="stable")]
+            batch = synth.expected_pixels_batch_i16(hp[grp], hh, ww).copy()
+            assert batch.dtype == np.int16
+            for j, i in enumerate(grp):
+                scalar = synth.expected_pixels(ids[i], hp=int(hp[i]))
+                assert np.array_equal(batch[j].astype(np.uint8), scalar), (hh, ww, ids[i])
+                assert batch[j].min() >= 0 and batch[j].max() <= 255
