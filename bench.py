@@ -57,26 +57,34 @@ def main() -> None:
 
     spark = pipeline.get_spark(app="ib_tool_bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
-    # Decode-tuned scan splits FOR THE VALIDATED FLAGSHIP ONLY: that
-    # job is ~ms/image, so its task granularity must come from the scan
-    # (row-capped cache files + small maxPartitionBytes) instead of a
-    # repartition that shuffles every image byte — the per-job tuning a
-    # real cluster ships with a decode-bound job.  Scoped per query
-    # because split sizing is computed from FILE bytes: a global 4m
-    # would also shatter the id-only flagship scan (which reads a few
-    # MB of one column from the same 561 MB files) into 140 tasks of
-    # pure overhead.  Each .count() replans and reads the live conf, so
-    # setting it inside the run fn is effective.
-    _DECODE_SPLIT = "4m"
+    # Decode-tuned scan splits FOR THE VALIDATED FLAGSHIP ONLY — the
+    # per-job tuning a real cluster ships with a decode-bound job.
+    # This Spark build pays a large FIXED per-task cost in the Python-
+    # runner bridge (~300 ms/task measured against a no-op mapInPandas,
+    # payload-independent), so the decode stage wants ONE wave of big
+    # tasks: 32m splits ≈ cores tasks at this table size (r4 shipped 4m
+    # = 172 tasks, which spent ~50 core-seconds in the bridge alone).
+    # Cache residency inside the kernel is preserved independently by a
+    # small Arrow batch (2000 rows ≈ 11 MB of decoded pixels per batch)
+    # — task size and kernel working-set are decoupled knobs.  Scoped
+    # per query because split sizing is computed from FILE bytes: a
+    # global 32m would starve the small-table queries.  Each .count()
+    # replans and reads the live conf, so setting it inside the run fn
+    # is effective.
+    _DECODE_SPLIT = "32m"
+    _DECODE_ARROW_BATCH = "2000"
 
     def _with_decode_splits(fn):
         def run():
             prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+            prev_b = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
             spark.conf.set("spark.sql.files.maxPartitionBytes", _DECODE_SPLIT)
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", _DECODE_ARROW_BATCH)
             try:
                 return fn()
             finally:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+                spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_b)
         return run
 
     # materialize input once (excluded from timing)

@@ -138,16 +138,20 @@ def flagship_validated(
     scene = synth.default_scene()
     if images is None:
         images = load_images(spark, n_images)
-    # decode is ~ms/image, so it needs fine-grained tasks.  The RIGHT
-    # source of that granularity is the scan itself (row-capped files +
+    # decode parallelism comes from the scan itself (row-capped files +
     # a decode-tuned spark.sql.files.maxPartitionBytes — what a real
-    # cluster job would set); only when the layout doesn't provide it
-    # (few/huge input files) fall back to a round-robin repartition —
-    # that path shuffles every image byte, so it's the exception, not
-    # the default.
-    n_tasks = spark.sparkContext.defaultParallelism * 4
-    if images.rdd.getNumPartitions() < n_tasks:
-        images = images.repartition(n_tasks)
+    # cluster job would set); only when the layout can't even fill the
+    # cluster (fewer splits than ~3/4 of the cores) fall back to a
+    # round-robin repartition — that path shuffles every image byte, so
+    # it's the exception, not the default.  The threshold is cores, not
+    # 4×cores: this Spark build pays a large FIXED per-task cost in the
+    # Python-runner bridge (~300 ms/task measured against a no-op
+    # mapInPandas, independent of payload), so once the scan saturates
+    # the cores, fewer+bigger decode tasks beat finer ones — and a
+    # full-byte shuffle to manufacture granularity is never worth it.
+    n_min = max(1, (spark.sparkContext.defaultParallelism * 3) // 4)
+    if images.rdd.getNumPartitions() < n_min:
+        images = images.repartition(spark.sparkContext.defaultParallelism * 2)
     valid = (
         ops.decode_validate(images)
         .filter(F.col("pixels_ok") & F.col("caption_ok") & F.col("phash_ok"))
