@@ -398,18 +398,26 @@ def phash(img: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+_DCT8R = np.ascontiguousarray(_DCT32[:8])        # rows 0..7 of D
+_DCT8C = np.ascontiguousarray(_DCT32[:8].T)      # cols 0..7 of D.T
+
+
 def phash_batch(imgs: np.ndarray) -> np.ndarray:
     """Vectorized :func:`phash` over a same-size stack (n, h, w, 3)
-    uint8 → int64 (n,).  Identical math per element; the (n, 32, 32)
-    DCT runs the same 32×32 GEMM per slice, so the bits match the
-    scalar path exactly (pinned by tests)."""
+    uint8 → int64 (n,).  Identical math per element: the channel sum is
+    an exact integer ≤ 765 whether accumulated in uint16 or float64, and
+    only the 8 low-frequency rows/columns of the DCT are computed —
+    every retained coefficient is the same independent length-32 dot
+    product the full (32, 32) GEMM produces (summation runs over the
+    single k-panel in the same order regardless of output blocking), so
+    the bits match the scalar path exactly (pinned by tests)."""
     n, h, w, _ = imgs.shape
-    # channel-wise upcast: identical (r+g)+b order, no (n, h, w, 3)
-    # float64 temporary
-    gray = imgs[:, :, :, 0].astype(np.float64)
-    gray += imgs[:, :, :, 1]
-    gray += imgs[:, :, :, 2]
-    gray /= 3.0
+    # integer channel sum (exact, half the memory traffic of float64
+    # accumulation), single int→float conversion fused with the /3
+    s = imgs[:, :, :, 0].astype(np.uint16)
+    s += imgs[:, :, :, 1]
+    s += imgs[:, :, :, 2]
+    gray = s / 3.0
     if h > 32:
         gray = gray.reshape(n, 32, h // 32, w).mean(axis=2)
     elif h < 32:
@@ -418,8 +426,9 @@ def phash_batch(imgs: np.ndarray) -> np.ndarray:
         gray = gray.reshape(n, 32, 32, w // 32).mean(axis=3)
     elif w < 32:
         gray = np.repeat(gray, 32 // w, axis=2)
-    coeff = _DCT32 @ gray @ _DCT32.T
-    block = coeff[:, :8, :8].reshape(n, 64)[:, 1:]
+    t1 = np.matmul(_DCT8R, gray)                      # (n, 8, 32) = (D @ g)[:8]
+    c8 = (t1.reshape(n * 8, 32) @ _DCT8C).reshape(n, 8, 8)
+    block = c8.reshape(n, 64)[:, 1:]
     med = np.median(block, axis=1)
     bits = np.zeros((n, 64), dtype=bool)
     bits[:, :63] = block > med[:, None]
