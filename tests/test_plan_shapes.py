@@ -133,3 +133,17 @@ def test_gap_close_grouped_kernel_parallelism(spark):
     # coalesces the tiny shuffle and the per-group kernels run serial
     assert "REPARTITION_BY_NUM" in p, p[:2000]
     assert "FlatMapCoGroupsInPandas" in p, p[:2000]
+
+
+def test_flagship_validated_repartition_policy(spark):
+    """r5 pin: decode parallelism comes from the scan — no round-robin
+    byte shuffle when the input already fills >= 3/4 of the cores; the
+    repartition fallback fires only when the layout can't fill them
+    (the r4 threshold of 4x cores made every >=8m split shuffle the
+    whole bytes column)."""
+    imgs = synth.synth_images_df(spark, 200, 8)  # 8 parts >= 3/4 of 4 cores
+    p = plan_text(pipeline.flagship_validated(spark, images=imgs))
+    assert "RoundRobinPartitioning" not in p, "byte shuffle on a saturating scan"
+    one = synth.synth_images_df(spark, 200, 8).coalesce(1)
+    p1 = plan_text(pipeline.flagship_validated(spark, images=one))
+    assert "RoundRobinPartitioning" in p1, "fallback must fire when the scan can't fill the cores"
