@@ -402,21 +402,30 @@ _DCT8R = np.ascontiguousarray(_DCT32[:8])        # rows 0..7 of D
 _DCT8C = np.ascontiguousarray(_DCT32[:8].T)      # cols 0..7 of D.T
 
 
-def phash_batch(imgs: np.ndarray) -> np.ndarray:
-    """Vectorized :func:`phash` over a same-size stack (n, h, w, 3)
-    uint8 → int64 (n,).  Identical math per element: the channel sum is
-    an exact integer ≤ 765 whether accumulated in uint16 or float64, and
-    only the 8 low-frequency rows/columns of the DCT are computed —
-    every retained coefficient is the same independent length-32 dot
-    product the full (32, 32) GEMM produces (summation runs over the
-    single k-panel in the same order regardless of output blocking), so
-    the bits match the scalar path exactly (pinned by tests)."""
-    n, h, w, _ = imgs.shape
+def phash_batch(imgs: np.ndarray, channel_major: bool = False) -> np.ndarray:
+    """Vectorized :func:`phash` over a same-size stack — (n, h, w, 3)
+    uint8, or (n, 3, h, w) with ``channel_major=True`` (the validate
+    kernel's layout; contiguous channel planes halve the gray-build
+    cost) — → int64 (n,).  Identical math per element: the channel sum
+    is an exact integer ≤ 765 whether accumulated in uint16 or float64
+    and in either layout, and only the 8 low-frequency rows/columns of
+    the DCT are computed — every retained coefficient is the same
+    independent length-32 dot product the full (32, 32) GEMM produces
+    (summation runs over the single k-panel in the same order
+    regardless of output blocking), so the bits match the scalar path
+    exactly (pinned by tests)."""
     # integer channel sum (exact, half the memory traffic of float64
     # accumulation), single int→float conversion fused with the /3
-    s = imgs[:, :, :, 0].astype(np.uint16)
-    s += imgs[:, :, :, 1]
-    s += imgs[:, :, :, 2]
+    if channel_major:
+        n, _, h, w = imgs.shape
+        s = imgs[:, 0].astype(np.uint16)
+        s += imgs[:, 1]
+        s += imgs[:, 2]
+    else:
+        n, h, w, _ = imgs.shape
+        s = imgs[:, :, :, 0].astype(np.uint16)
+        s += imgs[:, :, :, 1]
+        s += imgs[:, :, :, 2]
     gray = s / 3.0
     if h > 32:
         gray = gray.reshape(n, 32, h // 32, w).mean(axis=2)

@@ -377,6 +377,72 @@ def expected_pixels_batch_i16(hps: np.ndarray, h: int, w: int) -> np.ndarray:
     return m
 
 
+@lru_cache(maxsize=None)
+def _px_checker_i16_hw(h: int, w: int, period: int):
+    """Channel-free (h, w) int16 checker term pre-scaled by 24·64 — the
+    channel-major twin of :func:`_px_checker_i16`."""
+    checker = (
+        ((np.arange(w) // period)[None, :] + (np.arange(h) // period)[:, None]) % 2
+    ).astype(np.int16)
+    c = checker * np.int16(1536)
+    c.setflags(write=False)
+    return c
+
+
+# (h, w) → (M, T) int16 channel-major scratch for
+# expected_pixels_batch_i16_cm.
+_PX_I16CM_SCRATCH: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def expected_pixels_batch_i16_cm(hps: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Channel-MAJOR twin of :func:`expected_pixels_batch_i16`: returns
+    a (k, 3, h, w) int16 stack on the same exact sixty-fourths lattice
+    (values bit-identical per element — pinned in tests).
+
+    Layout rationale: in the (k, h, w, 3) layout every broadcast add
+    (row-term + column-term, checker) has a 3-element innermost loop —
+    numpy cannot merge the w axis because the row/checker operands
+    carry stride 0 across it — which measured ~13× slower than the
+    same add in (k, 3, h, w), where the w axis is the mergeable inner
+    axis for every operand.  The validate kernel keeps its decoded
+    stack channel-major too, so the diff and phash never transpose."""
+    hp = np.ascontiguousarray(hps, dtype=np.uint64)
+    k = len(hp)
+    base = np.stack([(hp >> 8) & 0xFF, (hp >> 16) & 0xFF, (hp >> 24) & 0xFF], axis=1).astype(np.int16)
+    gx2 = (np.stack([(hp >> 32) & 0x3F, (hp >> 38) & 0x3F, (hp >> 44) & 0x3F], axis=1).astype(np.int16) - 32) * 2
+    gy2 = (np.stack([(hp >> 50) & 0x3F, (hp >> 56) & 0x3F, hp & 0x3F], axis=1).astype(np.int16) - 32) * 2
+    sx = np.int16(64 // w)
+    sy = np.int16(64 // h)
+    ax = np.arange(w, dtype=np.int16)[None, None, :] * (gx2 * sx)[:, :, None]
+    by = np.arange(h, dtype=np.int16)[None, None, :] * (gy2 * sy)[:, :, None]
+    by += (base << 6)[:, :, None]
+    bufs = _PX_I16CM_SCRATCH.get((h, w))
+    if bufs is None or bufs[0].shape[0] < k:
+        cap = max(k, px_batch_chunk(h, w))
+        bufs = (
+            np.empty((cap, 3, h, w), dtype=np.int16),
+            np.empty((cap, 3, h, w), dtype=np.int16),
+        )
+        _PX_I16CM_SCRATCH[(h, w)] = bufs
+    m, t = bufs[0][:k], bufs[1][:k]
+    np.add(by[:, :, :, None], ax[:, :, None, :], out=m)
+    periods = (hp >> np.uint64(5)) % np.uint64(8)
+    b0 = 0
+    for b in range(1, k + 1):
+        if b == k or periods[b] != periods[b0]:
+            m[b0:b] += _px_checker_i16_hw(h, w, int(4 + periods[b0]))[None, None]
+            b0 = b
+    # round-half-to-even of M/64: (M + 31 + ((M >> 6) & 1)) >> 6
+    np.right_shift(m, 6, out=t)
+    t &= 1
+    t += 31
+    m += t
+    np.right_shift(m, 6, out=m)
+    np.maximum(m, 0, out=m)
+    np.minimum(m, 255, out=m)
+    return m
+
+
 def expected_pixels(image_id: str, hp: int | None = None) -> np.ndarray:
     """Deterministic RGB image for an id — the oracle for the PSNR check.
 

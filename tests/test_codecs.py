@@ -257,3 +257,39 @@ def test_expected_pixels_batch_i16_matches_scalar():
                 scalar = synth.expected_pixels(ids[i], hp=int(hp[i]))
                 assert np.array_equal(batch[j].astype(np.uint8), scalar), (hh, ww, ids[i])
                 assert batch[j].min() >= 0 and batch[j].max() <= 255
+
+
+def test_expected_pixels_batch_i16_cm_matches_scalar():
+    """r5 pin: the channel-major (k, 3, h, w) int16 synthesis is
+    bit-identical to the scalar float64 path across sizes/periods."""
+    ids = [f"img_{i:012d}" for i in range(400)]
+    hp = synth.id_hashes(ids, "#px")
+    by_size: dict[tuple[int, int], list[int]] = {}
+    for i, h in enumerate(hp):
+        w = synth.IMAGE_SIZES[int(h) % 3]
+        hh = synth.IMAGE_SIZES[(int(h) >> 2) % 3]
+        by_size.setdefault((hh, w), []).append(i)
+    assert len(by_size) == 9
+    for (hh, ww), idxs in by_size.items():
+        grp = np.asarray(idxs)
+        per = (hp[grp] >> np.uint64(5)) % np.uint64(8)
+        grp = grp[np.argsort(per, kind="stable")]
+        cm = synth.expected_pixels_batch_i16_cm(hp[grp], hh, ww).copy()
+        assert cm.shape == (len(grp), 3, hh, ww) and cm.dtype == np.int16
+        for j, i in enumerate(grp):
+            scalar = synth.expected_pixels(ids[i], hp=int(hp[i]))
+            assert np.array_equal(cm[j].transpose(1, 2, 0).astype(np.uint8), scalar)
+
+
+def test_phash_batch_channel_major_matches():
+    """r5 pin: phash_batch(channel_major=True) over (n, 3, h, w) equals
+    the (n, h, w, 3) path (and hence the scalar) for every size."""
+    rng = np.random.RandomState(17)
+    for h in (16, 32, 64):
+        for w in (16, 32, 64):
+            imgs = rng.randint(0, 256, (100, h, w, 3), np.uint8)
+            a = codecs.phash_batch(imgs)
+            b = codecs.phash_batch(
+                np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)), channel_major=True
+            )
+            assert np.array_equal(a, b), (h, w)
