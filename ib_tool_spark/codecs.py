@@ -272,6 +272,7 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 _DCT8 = _dct_matrix(8)
+_DCT8T_STEP = np.ascontiguousarray(_DCT8.T * 2.0)  # step folded: exact (2.0 = 2^1)
 _TDC_STEP = 2.0  # flat quantizer; error/coeff <= 1 → PSNR ≈ 52 dB
 
 
@@ -291,20 +292,25 @@ def tdc_encode(img: np.ndarray) -> bytes:
 
 
 def _idct_pixels(q: np.ndarray) -> np.ndarray:
-    """IDCT + de-center + clamp for a flat (N, 8, 8) block stack →
-    (8, N, 8) float64 pixels (i = row-in-block, j = col-in-block).
+    """Dequantize + IDCT + de-center + clamp for a flat (N, 8, 8)
+    int16 coefficient stack → (8, N, 8) float64 pixels (i =
+    row-in-block, j = col-in-block).
 
-    Two thin GEMMs instead of N stacked 8×8 matmuls: out1 = Dᵀ·Q with Q
-    laid out (8ᵣ, N·8ᶜ), then ·D with the result laid out (8ᵢ·N, 8ᶜ).
-    Each output element is the same ordered 8-term dot product the
-    stacked ``_DCT8.T @ q @ _DCT8`` computed (dgemm's sequential
-    k-loop), so pixels are bit-identical — pinned by the codec tests.
-    (A cross-image concatenated variant was measured and REJECTED: the
-    wide thin GEMM trips multithreaded BLAS paths that are both slower
-    under 32-way executors and not bit-stable.)"""
+    Two thin GEMMs instead of N stacked 8×8 matmuls: out1 = (s·Dᵀ)·Q
+    with Q laid out (8ᵣ, N·8ᶜ), then ·D with the result laid out
+    (8ᵢ·N, 8ᶜ).  The quantizer step s = _TDC_STEP is a POWER OF TWO,
+    so folding it into the left matrix is exact: fl((s·D_k)·q_k) =
+    fl(s·(D_k·q_k)) = fl(D_k·(s·q_k)) for every product, and the
+    transpose copy runs on int16 (2 bytes) instead of a dequantized
+    float64 stack.  Each output element is the same ordered 8-term dot
+    product the stacked ``_DCT8.T @ (s·q) @ _DCT8`` computed (dgemm's
+    sequential k-loop), so pixels are bit-identical — pinned by the
+    codec tests.  (A cross-image concatenated variant was measured and
+    REJECTED: the wide thin GEMM trips multithreaded BLAS paths that
+    are both slower under 32-way executors and not bit-stable.)"""
     n = q.shape[0]
     qt = np.ascontiguousarray(q.transpose(1, 0, 2)).reshape(8, n * 8)
-    out1 = (_DCT8.T @ qt).reshape(8 * n, 8)
+    out1 = (_DCT8T_STEP @ qt.astype(np.float64)).reshape(8 * n, 8)
     blocks = (out1 @ _DCT8).reshape(8, n, 8)
     blocks += 128.0
     np.rint(blocks, out=blocks)
@@ -322,8 +328,7 @@ def _deblock(pix: np.ndarray, w: int, h: int) -> np.ndarray:
 def tdc_decode(data: bytes) -> np.ndarray:
     magic, w, h = struct.unpack(">4sII", data[:12])
     assert magic == b"TDC1"
-    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16).astype(np.float64)
-    q *= _TDC_STEP
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)
     return _deblock(_idct_pixels(q.reshape(-1, 8, 8)), w, h)
 
 
