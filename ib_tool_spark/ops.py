@@ -509,6 +509,13 @@ def decode_validate_direct(
     pruning is explicit (`_VALIDATE_COLUMNS`), and the kernel working
     set stays cache-bound via ``batch_rows`` exactly like the Arrow
     maxRecordsPerBatch knob on the shipped path.
+
+    ``n_tasks`` defaults to one wave (defaultParallelism) because this
+    build's bridge handshake is the dominant per-task cost and the
+    row-balanced bin-packing keeps the wave even.  On a real cluster
+    with preemption/stragglers, set 2-4 waves (the handshake there is
+    amortized by per-task data volume) — the knob exists precisely so
+    that choice is per-deployment config, not a code change.
     """
     import glob as _glob
     import json as _json
@@ -567,13 +574,14 @@ def _validate_pdf(pdf: pd.DataFrame, psnr_floor: float) -> pd.DataFrame:
     order.  Decode stays per-image (variable formats/sizes); everything
     downstream runs over same-(h, w) chunks sized to stay cache-bound
     (`synth.px_batch_chunk`): expected pixels are synthesized as one
-    (k, h, w, 3) int16 stack on the exact sixty-fourths lattice
-    (`synth.expected_pixels_batch_i16` — bit-identical per element to
-    the float64 scalar path), the decoded stack is built ONCE and
-    shared by the PSNR diff and the phash check, and the id hashes /
-    caption index math are vectorized per batch.  PSNR uses exact
-    integer sums — equal to the float64 mean bit-for-bit (every
-    partial sum is an exact integer < 2⁵³, in any summation order)."""
+    channel-MAJOR (k, 3, h, w) int16 stack on the exact sixty-fourths
+    lattice (`synth.expected_pixels_batch_i16_cm` — bit-identical per
+    element to the float64 scalar path), the decoded stack is built
+    ONCE in the same layout and shared by the PSNR diff and the phash
+    check, and the id hashes / caption index math are vectorized per
+    batch.  PSNR uses exact integer sums — equal to the float64 mean
+    bit-for-bit (every partial sum is an exact integer < 2⁵³, in any
+    summation order)."""
     from . import codecs
 
     n = len(pdf)
