@@ -273,3 +273,34 @@ def test_identity_join_exact_refine_kills_hash_collisions(spark):
         for x in ops.identity_join(left, right, _hash_mod=1).collect()
     )
     assert got == [(0, 100), (1, 101), (2, 102)]
+
+
+def test_decode_validate_direct_multi_rowgroup(spark, tmp_path):
+    """r5 pin: the direct reader splits and bin-packs per ROW GROUP, so
+    a table rewritten into multi-row-group files (unlike the synth
+    cache's one-group files) produces identical results."""
+    import pyarrow.parquet as pq
+
+    src = synth.ensure_images_table(spark, 800)
+    # rewrite the whole table as two files with ~100-row row groups
+    t = pq.ParquetDataset(src).read()
+    half = t.num_rows // 2
+    d = tmp_path / "multirg"
+    d.mkdir()
+    pq.write_table(t.slice(0, half), d / "a.parquet", row_group_size=100)
+    pq.write_table(t.slice(half), d / "b.parquet", row_group_size=100)
+    md = pq.ParquetFile(d / "a.parquet").metadata
+    assert md.num_row_groups > 1
+    a = (
+        ops.decode_validate(spark.read.parquet(src))
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        ops.decode_validate_direct(spark, str(d), n_tasks=3)
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
