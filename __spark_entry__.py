@@ -939,6 +939,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shingles.groupBy("shingle")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
             .filter(F.size("docs") <= _SHINGLE_MAX_FREQ)
+            # persist: both the per-doc sizes branch and the pair branch
+            # consume postings, and without the cache Spark recomputes
+            # the full tokenize → shingle → groupBy subtree (the
+            # query's dominant cost) once per branch.  Bounded: one
+            # postings table per sf_dir for the session's lifetime.
+            .persist()
         )
         sizes = (
             postings.select(F.explode("docs").alias("doc_id"))
