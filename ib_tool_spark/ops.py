@@ -522,6 +522,12 @@ def decode_validate_direct(
     with preemption/stragglers, set 2-4 waves (the handshake there is
     amortized by per-task data volume) — the knob exists precisely so
     that choice is per-deployment config, not a code change.
+
+    The driver reads parquet footers to learn per-row-group row counts;
+    at warehouse scale (millions of files) that lookup belongs to the
+    table format's metadata layer instead — Iceberg manifests carry
+    per-file/row-group record counts, so the same bin-packing runs off
+    a manifest scan without opening a single data file.
     """
     import glob as _glob
     import json as _json
