@@ -142,6 +142,8 @@ def polygon_cover_pdf(polygons: list[tuple[int, str, list[np.ndarray]]], res: in
 
 _COVER_CACHE: dict = {}
 _COVER_CACHE_MAX = 8
+# knn candidate relation cache (same bound/eviction as the cover cache)
+_KNN_CAND_CACHE: dict = {}
 
 
 def _polygons_digest(polygons) -> str:
@@ -368,19 +370,40 @@ def knn_assign(
     # so each point joins exactly one row and the argmin is a fold over
     # that array in pure Column math — no groupBy, no Exchange on the
     # point side at all.
-    grouped = [
-        (
-            int(cell),
-            [
-                {"center_id": int(r.center_id), "cx": float(r.cx), "cy": float(r.cy)}
-                for r in g.itertuples()
-            ],
-        )
-        for cell, g in cand.groupby("cell")
-    ]
-    cand_df = spark.createDataFrame(
-        grouped, "cell long, cands array<struct<center_id: long, cx: double, cy: double>>"
+    # persist behind the broadcast, keyed by (centers, cutoff, res):
+    # like the PIP cover, the BroadcastExchange rebuilds per job and
+    # feeding it from cached blocks skips re-serializing the
+    # driver-local candidate relation on every run (bounded LRU)
+    ckey = (
+        hash((centers["center_id"].to_numpy(np.int64).tobytes(), cxy.tobytes())),
+        float(cutoff),
+        res,
+        grid,
+        id(spark),
     )
+    cached = _KNN_CAND_CACHE.get(ckey)
+    if cached is None:
+        while len(_KNN_CAND_CACHE) >= _COVER_CACHE_MAX:
+            _old = _KNN_CAND_CACHE.pop(next(iter(_KNN_CAND_CACHE)))
+            try:
+                _old.unpersist()
+            except Exception:
+                pass
+        grouped = [
+            (
+                int(cell),
+                [
+                    {"center_id": int(r.center_id), "cx": float(r.cx), "cy": float(r.cy)}
+                    for r in g.itertuples()
+                ],
+            )
+            for cell, g in cand.groupby("cell")
+        ]
+        cached = spark.createDataFrame(
+            grouped, "cell long, cands array<struct<center_id: long, cx: double, cy: double>>"
+        ).persist()
+        _KNN_CAND_CACHE[ckey] = cached
+    cand_df = cached
     pts = points.withColumn("__kcell", encode_col(F.col("x"), F.col("y"), res, grid))
     joined = pts.join(F.broadcast(cand_df), pts["__kcell"] == cand_df["cell"], "inner").drop(
         cand_df["cell"]
