@@ -918,17 +918,38 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the shingle equi-join IS the distributed algorithm (no cross
         # join); rare-shingle restriction bounds the pair blow-up.
         d = _t(spark, sf_dir, "documents")
-        toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " ")
-        sh = F.when(
-            F.size(F.col("toks")) >= 3,
-            F.expr(
-                "transform(sequence(1, size(toks) - 2), i -> "
-                "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        shingles = (
-            d.select("doc_id", toks.alias("toks"))
-            .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+        # Shingle generation runs in mapInPandas (guide §4.2): the
+        # former JVM formulation (transform(sequence) + 3×element_at +
+        # concat + array_distinct) is interpreted expression eval with
+        # per-element object churn — measured 14-21 s for the
+        # tokenize→shingle subtree at sf1.0 vs ~2 s for this batch
+        # Python tokenizer (plans/r06).  Output rows are IDENTICAL
+        # (exceptAll parity 0 both ways at sf1.0): same lowercasing,
+        # same [^a-z0-9]+ → ' ' collapse, same trim/split, same per-doc
+        # first-occurrence dedup; row order feeds an order-insensitive
+        # groupBy, so it cannot affect results.
+        def shingle_gen(batches):
+            import re as _re
+
+            import pandas as _pd
+
+            rx = _re.compile(r"[^a-z0-9]+")
+            for pdf in batches:
+                ids: list = []
+                shs: list = []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    toks = rx.sub(" ", text.lower()).strip().split(" ")
+                    if len(toks) >= 3:
+                        seen = dict.fromkeys(
+                            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                        )
+                        ids.extend([did] * len(seen))
+                        shs.extend(seen)
+                yield _pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+        shingles = d.select("doc_id", "text").mapInPandas(
+            shingle_gen, "doc_id long, shingle string"
         )
         # pre-aggregated postings lists: ONE shuffle builds the
         # per-shingle doc list (rare filter = size cap on the list);
@@ -951,20 +972,54 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("sz"))
         )
-        pair_arr = F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
+        # Pair aggregation on a PACKED 64-bit key ((a << 32) | b) when
+        # doc ids fit in uint32 — halves the hash-agg entry width and
+        # drops the per-pair struct allocation (measured 9.1 → 3.6 s on
+        # the 67M-pair sf1.0 aggregation, plans/r06).  Injective for
+        # 0 ≤ doc_id < 2^32 (checked below at plan-build time via one
+        # tiny min/max scan); otherwise fall back to the struct key —
+        # same rows either way.
+        rng = d.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        packable = (
+            rng["lo"] is not None and rng["lo"] >= 0 and rng["hi"] < (1 << 32)
+        )
+        if packable:
+            pair_arr = F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda y: F.shiftleft(x, 32).bitwiseOR(y),
+                    ),
+                )
             )
-        )
-        pairs = (
-            postings.select(F.explode(pair_arr).alias("p"))
-            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
+            pairs = (
+                postings.select(F.explode(pair_arr).alias("k"))
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("inter"))
+                .select(
+                    F.shiftrightunsigned(F.col("k"), 32).alias("doc_a"),
+                    F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
+                    "inter",
+                )
+            )
+        else:
+            pair_arr = F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+            pairs = (
+                postings.select(F.explode(pair_arr).alias("p"))
+                .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+                .agg(F.count(F.lit(1)).alias("inter"))
+            )
         sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa")
         sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb")
         jac = F.col("inter").cast("double") / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double")
