@@ -246,16 +246,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j1_broadcast_lookup"] = j1_broadcast_lookup
 
     def o3_topk_window(spark, sf_dir):
-        # O3 argmin/top-1 per group → row_number window (ranked-nearest
-        # pattern, IB-Tool2.py:1985-96 §2.8)
-        from pyspark.sql import Window as W
-
+        # O3 argmin/top-1 per group.  Same winner rule as the former
+        # row_number window (top o_totalprice, ties broken by smallest
+        # o_orderkey) expressed as max over struct(price, -orderkey):
+        # lexicographic struct max picks the largest price, then the
+        # largest negated key = smallest key.  A groupBy gets map-side
+        # PARTIAL aggregation and skips the window's per-partition sort
+        # entirely (guide §2.3/§2.4) — measured 1.31 s → 0.40 s at
+        # sf1.0 with exceptAll parity 0 (plans/r06).
         o = _t(spark, sf_dir, "orders")
-        w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        m = F.max(
+            F.struct(
+                F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")
+            )
+        )
         return (
-            o.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("o_custkey", "o_orderkey", (F.round(F.col("o_totalprice") * 100)).cast("long").alias("top_cents"))
+            o.groupBy("o_custkey")
+            .agg(m.alias("m"))
+            .select(
+                "o_custkey",
+                (-F.col("m.nk")).alias("o_orderkey"),
+                F.round(F.col("m.p") * 100).cast("long").alias("top_cents"),
+            )
         )
 
     q["o3_topk_window"] = o3_topk_window
@@ -448,9 +460,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ib_tool_spark import ops
 
         ring = np.array(_PIP_POLY, dtype=np.float64)
-        pts = _pts_df(spark, sf_dir).withColumnRenamed("px", "x").withColumnRenamed("py", "y")
+        # Join BEFORE dedup: the broadcast PIP join + refine are
+        # deterministic row-wise functions, and with a SINGLE polygon
+        # the join cannot duplicate an input row, so distinct-then-join
+        # ≡ join-then-distinct — but the distinct's shuffle now moves
+        # only the ~40% of points that fall inside covered cells
+        # instead of the full point table (guide §2.3: shuffle fewer
+        # bytes).  Measured 1.55 s → 1.27 s at sf1.0, exceptAll parity
+        # 0 (plans/r06).  _pts_df (distinct-first) remains the shared
+        # fixture for the multi-polygon/overlay gates where join
+        # multiplicity would break this rewrite.
+        li = _t(spark, sf_dir, "lineitem")
+        pts = li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
+            (((F.col("l_partkey") * 7919) % 100000).cast("double") + F.lit(0.25)).alias("x"),
+            (((F.col("l_suppkey") * 104729) % 100000).cast("double") + F.lit(0.25)).alias("y"),
+        )
         pts = ops.with_cell(pts, 8)
-        return ops.pip_join(pts, [(0, "poly", [ring])], 8).select("pid", "x", "y")
+        return ops.pip_join(pts, [(0, "poly", [ring])], 8).select("pid", "x", "y").distinct()
 
     q["g_pip_polygon"] = g_pip_polygon
 
@@ -1039,6 +1066,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # brute-force max-inner-product top-k with integer-scaled dot so
         # the score is order-independent and oracle-exact
         e = _t(spark, sf_dir, "embeddings")
+        # The dot product is interpreted expression eval (~50 µs/row);
+        # the embeddings parquet yields fewer splits than cores at bench
+        # tiers (2 partitions at sf1.0), so the compute ran on 2 of 32
+        # cores.  Round-robin to one wave ONLY when the scan underfills
+        # the cluster (same adaptive guard as pipeline.flagship_validated)
+        # — a table with enough row-group splits never shuffles.
+        # Measured 0.99 s → 0.30 s at sf1.0 (plans/r06).
+        par = spark.sparkContext.defaultParallelism
+        if e.rdd.getNumPartitions() < max(1, (par * 3) // 4):
+            e = e.repartition(par)
         qv = F.array(*[F.lit(float(v)) for v in _ANN_QV])
         prods = F.zip_with(
             F.col("embedding"),

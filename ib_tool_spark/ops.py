@@ -374,8 +374,17 @@ def knn_assign(
     # like the PIP cover, the BroadcastExchange rebuilds per job and
     # feeding it from cached blocks skips re-serializing the
     # driver-local candidate relation on every run (bounded LRU)
+    # content-digest key (not the salted built-in hash()): a hash()
+    # collision between two different center sets would silently return
+    # the wrong persisted candidate relation — same reasoning as the
+    # cover cache's sha1 digest (ADVICE r5)
+    import hashlib as _hashlib
+
+    _ckey_h = _hashlib.sha1()
+    _ckey_h.update(centers["center_id"].to_numpy(np.int64).tobytes())
+    _ckey_h.update(cxy.tobytes())
     ckey = (
-        hash((centers["center_id"].to_numpy(np.int64).tobytes(), cxy.tobytes())),
+        _ckey_h.hexdigest(),
         float(cutoff),
         res,
         grid,
@@ -633,9 +642,26 @@ def _validate_pdf(pdf: pd.DataFrame, psnr_floor: float) -> pd.DataFrame:
         imgs[i] = codecs.decode(bytes(data), fmt)
 
     is_tdc = fmts == "tdc"
+    # id-derived expected shape (ADVICE r5 medium): a payload whose
+    # decoded size differs from what the image_id implies must FAIL
+    # pixels_ok even if it perfectly matches a re-synthesis at its own
+    # (wrong) size — the diff below groups by DECODED shape, so without
+    # this check the id→size invariant was no longer validated.
+    sizes_arr = np.array(synth.IMAGE_SIZES, dtype=np.int64)
+    exp_w = sizes_arr[(hp % np.uint64(3)).astype(np.int64)]
+    exp_h = sizes_arr[((hp >> np.uint64(2)) % np.uint64(3)).astype(np.int64)]
     by_size: dict[tuple[int, int], list[int]] = {}
     for i, img in enumerate(imgs):
-        by_size.setdefault(img.shape[:2], []).append(i)
+        hh, ww = img.shape[:2]
+        if hh != exp_h[i] or ww != exp_w[i]:
+            # wrong-size payload: pixel check fails by definition and
+            # synthesis is skipped; phash is still checked against the
+            # decoded pixels (scalar path — mismatches are exceptional)
+            psnr_arr[i] = 0.0
+            pix_ok[i] = False
+            ph_ok[i] = int(phashes[i]) == codecs.phash(img)
+            continue
+        by_size.setdefault((hh, ww), []).append(i)
     for (hh, ww), idxs in by_size.items():
         npx = float(hh * ww * 3)
         chunk = synth.px_batch_chunk(hh, ww)

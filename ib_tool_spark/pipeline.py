@@ -63,6 +63,14 @@ def get_spark(
 ) -> SparkSession:
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores == "*" else max(8, int(cores))
+    # One BLAS thread per Python worker: Spark already runs one task per
+    # core, so any intra-op BLAS threading oversubscribes the box (32
+    # workers × OpenBLAS threads spinning on 32 cores).  Measured on the
+    # 32-way decode-validate kernel: 110k → 167k img/s aggregate
+    # (plans/r06).  Set BEFORE the JVM launches so local-mode Python
+    # workers inherit it; the executorEnv conf covers cluster mode.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -75,6 +83,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -143,6 +143,41 @@ def test_decode_validate_all_ok(spark):
     assert set(res["fmt"]) == {"png", "ppm", "tdc"}
 
 
+def test_validate_rejects_wrong_size_resynthesis(spark):
+    # ADVICE r5 medium: a payload re-synthesized from the same pixel
+    # hash at a WRONG size decodes to a perfect match of its own-size
+    # synthesis — the id-derived size must still fail pixels_ok.
+    import pandas as pd
+
+    from ib_tool_spark import codecs
+
+    rows = [synth.make_row(i) for i in range(6)]
+    pdf = pd.DataFrame(rows)
+    base = ops._validate_pdf(pdf[["image_id", "bytes", "fmt", "caption", "phash"]], 40.0)
+    assert base["pixels_ok"].all()
+
+    # forge row 0: synthesize the expected pattern at a size that is
+    # NOT the id-derived one, encode it losslessly, keep the phash of
+    # the forged pixels so only the size check can catch it
+    import numpy as np
+
+    hp = int(synth.id_hashes([rows[0]["image_id"]], "#px")[0])
+    h = synth.IMAGE_SIZES[(hp >> 2) % 3]
+    w = synth.IMAGE_SIZES[hp % 3]
+    wrong_h = next(s for s in synth.IMAGE_SIZES if s != h)
+    forged = synth.expected_pixels_batch_i16_cm(
+        np.array([hp], dtype=np.uint64), wrong_h, w
+    )[0].transpose(1, 2, 0).astype(np.uint8)
+    pdf.loc[0, "bytes"] = codecs.ppm_encode(np.ascontiguousarray(forged))
+    pdf.loc[0, "fmt"] = "ppm"
+    pdf.loc[0, "phash"] = codecs.phash(forged)
+    res = ops._validate_pdf(pdf[["image_id", "bytes", "fmt", "caption", "phash"]], 40.0)
+    assert not res["pixels_ok"].iloc[0]
+    assert res["psnr"].iloc[0] == 0.0
+    assert res["phash_ok"].iloc[0]  # phash matches the forged pixels
+    assert res["pixels_ok"].iloc[1:].all()
+
+
 def test_decode_validate_direct_matches_shipped(spark):
     """r5 pin: the direct-read decode stage (executors stream their
     parquet row-group splits via pyarrow) is row-identical to the
