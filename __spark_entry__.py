@@ -1375,6 +1375,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ib_tool_spark import ops, pipeline, synth
 
         n = min(synth.images_sf_count(sf_dir), 5000)
+        # measured r6: the direct row-group reader was TRIED here and
+        # rejected — at the 5000-image cap its fixed per-task Python
+        # bridge cost across a 32-task wave (0.50 s) loses to the
+        # 2-task JVM-scan path (0.41 s); the direct reader wins only
+        # decode-bound row counts (flagship_validated's 400k).
         imgs = pipeline.load_images(spark, n)
         return (
             ops.decode_validate(imgs)
@@ -2657,6 +2662,13 @@ def oracle_sql() -> dict[str, str]:
     # xxh64-in-SQL cascade (no literal mirror table), then the same
     # PIP/tile SQL forms as g_pip_polygon/g_tile_assign over the scene's
     # ~1.2k polygon edges.
+    #
+    # sf0.01 FLOOR (ADVICE r5): img_flagship_pip (n=20000),
+    # s_windowed_density (n=500) and img_phash_near_dups (n=4000)
+    # hardcode the row count their gate query reaches at sf0.01+, while
+    # the queries size as min(images_sf_count(sf_dir), cap) — below
+    # sf0.01 (e.g. sf0.001: 2000 images) the oracle and query row
+    # counts diverge by design.  The driver's gate tier is sf0.01.
     o["img_flagship_pip"] = _flagship_oracle_sql()
 
     # Registered queries intentionally WITHOUT a SQL oracle (rows-only

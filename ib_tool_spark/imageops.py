@@ -76,12 +76,30 @@ def image_features(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(run, FEATURES_SCHEMA)
 
 
-def phash_near_dups(df: DataFrame, max_hamming: int = 6, prefix_bits: int = 16) -> DataFrame:
+def phash_near_dups(
+    df: DataFrame, max_hamming: int = 6, prefix_bits: int = 16, max_bucket: int = 256
+) -> DataFrame:
     """Image near-dup pairs by stored phash: bit-prefix band bucketing
     + exact Hamming refine — the embedding-free image dedup family.
     Same candidate-then-refine shape as textops.simhash_near_dups, but
-    over the payload table's phash column (zero decode)."""
+    over the payload table's phash column (zero decode).
+
+    Buckets above ``max_bucket`` members are dropped before the
+    self-join (textops._cap_buckets, VERDICT r5 wrong#1): a degenerate
+    corpus — millions of near-black images sharing a band prefix —
+    otherwise turns one bucket into an O(bucket²) self-join.  Dropped-
+    bucket members still pair through their other bands; exactly
+    identical images are exact-dedup's job.
+
+    Recall bound: with ``64 // prefix_bits`` bands, the pigeonhole
+    guarantee (some band exactly equal) only holds for pairs with
+    hamming ≤ bands - 1 (3 at the 16-bit default); a pair whose
+    ``max_hamming`` differences spread across ALL bands (e.g. 2+2+1+1
+    at the default max_hamming=6) can be missed.  Callers needing full
+    recall at hamming h must use prefix_bits ≤ 64 // (h + 1)."""
     from pyspark.sql import functions as F
+
+    from .textops import _cap_buckets
 
     banded = df.select(
         "image_id",
@@ -100,6 +118,7 @@ def phash_near_dups(df: DataFrame, max_hamming: int = 6, prefix_bits: int = 16) 
             )
         ).alias("bb"),
     ).select("image_id", "phash", "bb.band", "bb.key")
+    banded = _cap_buckets(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -547,18 +547,21 @@ def ensure_images_table(spark, n: int, cache_root: str = "/root/repo/.synth") ->
     cell = encode_col(x, y, 10)
     df = df.withColumn("pcell", parent_col(cell, 10, 3))
     # co-locate each coarse cell before writing (one writer per pcell
-    # bucket instead of gen_partitions × pcells tiny files), but cap
-    # rows per file so Zipf-dense cells still split into multiple scan
-    # tasks — otherwise the densest cell becomes a straggler task for
-    # every downstream decode stage.  2500 rows ≈ 7 MB ≈ 0.5-0.8 s of
-    # decode: small enough that a decode-tuned maxPartitionBytes gives
-    # the validated flagship its task granularity from the LAYOUT (no
-    # repartition shuffle of the image bytes), large enough that pure
-    # scans aren't task-overhead-bound
+    # bucket instead of gen_partitions × pcells tiny files).  Decode
+    # granularity comes from ROW GROUPS, not files: an 8 MB parquet
+    # block ≈ 2500 rows, and every decode consumer bin-packs (file,
+    # row_group) splits (ops.decode_validate_direct) or splits scans by
+    # maxPartitionBytes — so one file per pcell with many small row
+    # groups keeps the same task granularity while metadata-only scans
+    # stop paying hundreds of per-file opens (guide §6 small-files).
+    # Measured on the 2M-image table: the r5 layout (819 × 2500-row
+    # files) scanned image_id in 0.31 s, this layout (36 files, 2500-row
+    # row groups) in 0.083 s — the flagship count's largest single cost
+    # (plans/r06).
     (
         df.repartition(64, "pcell")
         .write.mode("overwrite")
-        .option("maxRecordsPerFile", 2500)
+        .option("parquet.block.size", str(8 * 1024 * 1024))
         .partitionBy("pcell")
         .parquet(path)
     )
